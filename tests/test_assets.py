@@ -1,0 +1,163 @@
+"""Asset-layer tests: GLB parsing, KTX2 container, BC decode.
+
+Fixture data: the reference's tiny probe assets (SURVEY.md §4) plus fuzzing
+against Pillow's independent BC decoder.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpurast import math3d
+from tpurast.assets import bcdec, gltf, ktx2
+
+
+# ---------------------------------------------------------------------------
+# glTF
+# ---------------------------------------------------------------------------
+
+
+def test_dragon_counts(data_dir):
+    # SURVEY §6: dragon = 19,332 tris / 11,319 verts, one draw.
+    model = gltf.load_glb(data_dir / "meshes/stanford_dragon.glb")
+    assert model.triangle_count == 19332
+    assert model.vertex_count == 11319
+    assert len(model.draws) == 1
+    d = model.draws[0]
+    assert d.indices.dtype == np.uint32  # u16 widened (src/Renderer.zig:902-912)
+    assert d.image_uri == "textures/stanford_dragon/stanford_dragon_diffuse_specular_bc7.ktx2"
+
+
+def test_triangle_arena_crate_counts(data_dir):
+    assert gltf.load_glb(data_dir / "meshes/triangle.glb").triangle_count == 1
+    assert gltf.load_glb(data_dir / "meshes/arena.glb").triangle_count == 10
+    crate = gltf.load_glb(data_dir / "meshes/crate.glb")
+    assert crate.triangle_count == 12
+    assert crate.draws[0].image_uri == "textures/crate/crate_diffuse_specular_bc7.ktx2"
+
+
+def test_model_matrix_includes_basis_change(data_dir):
+    # Node transforms get glTF->world (diag(-1,-1,1)) then post_transform
+    # applied (src/Renderer.zig:797-799).
+    post = math3d.translation([0.0, 1.0, 0.0])
+    model = gltf.load_glb(data_dir / "meshes/triangle.glb", post_transform=post)
+    m = model.draws[0].model_matrix
+    # glTF-space +X ends up at world -X, then translated.
+    np.testing.assert_allclose(
+        math3d.transform_point(m, [1, 0, 0]), [-1, 1, 0], atol=1e-6
+    )
+
+
+def test_vertex_bounds_sane(data_dir):
+    d = gltf.load_glb(data_dir / "meshes/stanford_dragon.glb").draws[0]
+    assert np.isfinite(d.positions).all()
+    assert np.abs(d.positions).max() < 100.0
+    norms = np.linalg.norm(d.normals, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# KTX2
+# ---------------------------------------------------------------------------
+
+
+def test_crate_ktx2_header(data_dir):
+    t = ktx2.load_ktx2(data_dir / "textures/crate/crate_diffuse_specular_bc7.ktx2")
+    assert t.vk_format == ktx2.VK_FORMAT_BC7_SRGB_BLOCK
+    assert t.is_srgb
+    assert (t.width, t.height) == (512, 512)
+    assert t.level_count == 10  # full chain 512 -> 1
+    assert t.supercompression == ktx2.SUPERCOMPRESSION_ZSTD
+    # Level sizes: ceil(w/4)*ceil(h/4)*16 bytes.
+    for lvl in t.levels:
+        assert len(lvl.data) == lvl.blocks_x * lvl.blocks_y * 16
+        assert lvl.width == max(1, 512 >> lvl.level)
+
+
+def test_hdr_bc6u_header(data_dir):
+    t = ktx2.load_ktx2(data_dir / "textures/hdr_bc6u.ktx2")
+    assert t.vk_format == ktx2.VK_FORMAT_BC6H_UFLOAT_BLOCK
+    assert (t.width, t.height) == (512, 512)
+    assert t.level_count == 1  # documented libktx workaround (SURVEY §2.4.7)
+
+
+def test_missing_bc6u_mips(data_dir):
+    t = ktx2.load_ktx2(data_dir / "textures/missing_bc6u.ktx2")
+    assert t.vk_format == ktx2.VK_FORMAT_BC6H_UFLOAT_BLOCK
+    assert (t.width, t.height) == (128, 128)
+    assert t.level_count == 8
+
+
+def test_porsche_textures_parse(data_dir):
+    n = 0
+    for p in sorted((data_dir / "textures/porche").glob("*.ktx2")):
+        t = ktx2.load_ktx2(p)
+        assert t.vk_format == ktx2.VK_FORMAT_BC7_SRGB_BLOCK
+        n += 1
+    assert n == 11  # 13 on disk minus 2 stripped large blobs
+
+
+# ---------------------------------------------------------------------------
+# BC decode (vs Pillow oracle)
+# ---------------------------------------------------------------------------
+
+
+def _bc7_mode_blocks(rng, mode: int, count: int) -> np.ndarray:
+    """Random blocks forced to a specific BC7 mode."""
+    blocks = rng.integers(0, 256, size=(count, 16), dtype=np.uint8)
+    blocks[:, 0] = (blocks[:, 0] | (1 << mode)) & ~np.uint8((1 << mode) - 1)
+    return blocks
+
+
+@pytest.mark.parametrize("mode", range(8))
+def test_bc7_fuzz_all_modes_vs_pillow(mode):
+    rng = np.random.default_rng(42 + mode)
+    blocks = _bc7_mode_blocks(rng, mode, 512)
+    mine = bcdec.decode_bc7(blocks)
+    for i in range(len(blocks)):
+        ref = np.asarray(Image.frombytes("RGBA", (4, 4), blocks[i].tobytes(), "bcn", (7, "")))
+        np.testing.assert_array_equal(mine[i], ref, err_msg=f"mode {mode} block {i}")
+
+
+def test_bc7_invalid_block_transparent_black():
+    # Reserved mode (no set bit in low byte) -> (0,0,0,0) per Khronos DFS.
+    blk = np.zeros((1, 16), dtype=np.uint8)
+    blk[0, 1] = 0xFF
+    assert (bcdec.decode_bc7(blk) == 0).all()
+
+
+def test_bc4_fuzz_vs_pillow():
+    rng = np.random.default_rng(7)
+    blocks = rng.integers(0, 256, size=(2048, 8), dtype=np.uint8)
+    mine = bcdec.decode_bc4(blocks)
+    for i in range(0, len(blocks), 1):
+        ref = np.asarray(Image.frombytes("L", (4, 4), blocks[i].tobytes(), "bcn", (4, "")))
+        np.testing.assert_array_equal(mine[i], ref)
+
+
+def test_decode_crate_texture_statistics(data_dir):
+    t = ktx2.load_ktx2(data_dir / "textures/crate/crate_diffuse_specular_bc7.ktx2")
+    img = bcdec.decode_level(t.levels[0].data, t.format_name, t.width, t.height)
+    assert img.shape == (512, 512, 4)
+    # Woody crate: warm colors, R > G > B on average; alpha = specular mask.
+    mean = img.reshape(-1, 4).mean(axis=0)
+    assert mean[0] > mean[1] > mean[2]
+    # Mip level consistency: level 1 mean close to level 0 mean.
+    img1 = bcdec.decode_level(t.levels[1].data, t.format_name, 256, 256)
+    np.testing.assert_allclose(
+        img1.reshape(-1, 4).mean(axis=0), mean, atol=6.0
+    )
+
+
+def test_assemble_blocks_crop():
+    # Non-multiple-of-4 sizes crop the padded block grid.
+    decoded = np.arange(2 * 16 * 4, dtype=np.uint8).reshape(2, 4, 4, 4)
+    img = bcdec.assemble_blocks(decoded, blocks_x=2, blocks_y=1, width=6, height=3)
+    assert img.shape == (3, 6, 4)
+    np.testing.assert_array_equal(img[0, 0], decoded[0, 0, 0])
+    np.testing.assert_array_equal(img[0, 4], decoded[1, 0, 0])
+
+
+def test_srgb_roundtrip():
+    v = np.linspace(0, 1, 64, dtype=np.float32)
+    np.testing.assert_allclose(bcdec.linear_to_srgb(bcdec.srgb_to_linear((v * 255).astype(np.uint8))), v, atol=1 / 255)

@@ -1,0 +1,76 @@
+"""Renderer configuration.
+
+The reference hardcodes every tunable (SURVEY.md §5 "Config / flag system"):
+window 1280x720 (src/Engine.zig:56), vfov 80 deg / znear 0.01
+(src/Renderer.zig:468-474), move speed 2.0 (src/Camera.zig:73), mouse
+sensitivity 0.002 (src/Camera.zig:103), light constants
+(shaders/src/basic.frag:15-17), clear color magenta (src/Renderer.zig:1008).
+We expose them as a dataclass whose defaults reproduce the reference values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def _normalize3(v: tuple[float, float, float]) -> tuple[float, float, float]:
+    n = math.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+    return (v[0] / n, v[1] / n, v[2] / n)
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    # Render target (reference: 1280x720 window, src/Engine.zig:56).
+    width: int = 1280
+    height: int = 720
+
+    # Projection (src/Renderer.zig:468-475): vfov 80 deg, znear 0.01,
+    # infinite far plane with reversed-Z.
+    vfov_deg: float = 80.0
+    znear: float = 0.01
+
+    # Clear values (src/Renderer.zig:1008, :1014): magenta color, depth 0.0
+    # (reversed-Z "far").
+    clear_color: tuple[float, float, float, float] = (1.0, 0.0, 1.0, 1.0)
+    clear_depth: float = 0.0
+
+    # Directional light (shaders/src/basic.frag:15-17).
+    light_color: tuple[float, float, float] = (0.86, 0.65, 0.35)
+    light_direction: tuple[float, float, float] = _normalize3((1.0, -1.0, 1.0))
+    ambient_amount: float = 0.1
+    specular_power: float = 32.0
+
+    # Camera (src/Camera.zig:73, :103-105).
+    move_speed: float = 2.0
+    mouse_sensitivity: float = 0.002
+    pitch_limit: float = 0.5 * math.pi - 0.01
+
+    # --- TPU pipeline tunables (no reference analog; the GPU rasterizer's
+    # fixed-function tiling made these implicit). ---
+    # Framebuffer tile size: one Pallas program rasterizes one tile.
+    # (tile_h, tile_w) should stay multiples of the f32 VPU register tile
+    # (8, 128) so depth/visibility blocks map onto lanes without padding.
+    tile_h: int = 32
+    tile_w: int = 128
+    # Per-tile triangle bin capacity (static shape). Overflow is detected and
+    # reported; see kernels/binning.py.
+    bin_capacity: int = 1024
+    # Number of triangles rasterized per inner-loop step of the Pallas kernel.
+    raster_chunk: int = 8
+
+    # Texture sampling: trilinear by default (the reference requests
+    # anisotropy 16 (src/Renderer.zig:515) but the baseline configs only
+    # demand mip/trilinear; aniso is a future flag).
+    max_anisotropy: int = 1
+
+    @property
+    def vfov(self) -> float:
+        return math.radians(self.vfov_deg)
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+
+DEFAULT_CONFIG = RendererConfig()
