@@ -1,0 +1,107 @@
+"""End-to-end pipeline tests: demo scene -> framebuffer (CPU, interpret)."""
+
+import numpy as np
+import pytest
+
+from tpurast.camera import Camera, MoveDirection
+from tpurast.config import RendererConfig
+from tpurast.device.scene import load_demo_scene
+from tpurast.engine import Engine
+from tpurast.renderer import Renderer
+
+MAGENTA = np.array([255, 0, 255], dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def demo_scene(data_dir):
+    return load_demo_scene(str(data_dir))
+
+
+@pytest.fixture(scope="module")
+def renderer(demo_scene):
+    return Renderer(demo_scene, RendererConfig(width=160, height=96, segment_headroom=192))
+
+
+def demo_camera():
+    return Camera.from_target([0, 0, -2.5], [0, 0, 1])
+
+
+def test_demo_scene_composition(demo_scene):
+    # arena + dragon + crate (porsche stripped from the mount).
+    assert demo_scene.n_faces == 19354
+    assert demo_scene.texture_uris[0] == "builtin://fallback-texture"
+    assert any("crate" in u for u in demo_scene.texture_uris)
+
+
+def test_render_background_is_clear_color(renderer):
+    out = renderer.render_to_host(demo_camera())
+    assert out.shape == (96, 160, 4)
+    assert out.dtype == np.uint8
+    # Top rows are sky: exact magenta clear (1,0,1,1) in sRGB u8.
+    np.testing.assert_array_equal(
+        out[:10, :, :3], np.broadcast_to(MAGENTA, (10, 160, 3))
+    )
+    assert (out[..., 3] == 255).all()
+
+
+def test_render_covers_scene(renderer):
+    res = renderer.render(demo_camera())
+    out = np.asarray(res["color"])
+    covered = (out[..., :3] != MAGENTA).any(-1)
+    assert 0.3 < covered.mean() < 0.9  # floor+wall fill the lower half
+    assert int(res["bin_overflow"]) == 0
+    depth = np.asarray(res["depth"])
+    assert (depth[covered] > 0).all()
+    assert (depth[~covered] == 0).all()
+
+
+def test_render_deterministic(renderer):
+    a = renderer.render_to_host(demo_camera())
+    b = renderer.render_to_host(demo_camera())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_depth_ordering_crate_in_front_of_floor(renderer):
+    # The crate sits closer to the camera than the arena back wall; pixels
+    # in the crate's screen area must have larger reversed-Z depth than
+    # wall pixels.
+    res = renderer.render(demo_camera())
+    depth = np.asarray(res["depth"])
+    # crate center ~ screen center-bottom; wall ~ upper mid rows.
+    crate_d = depth[70, 80]
+    wall_d = depth[52, 10]
+    assert crate_d > wall_d > 0
+
+
+def test_resize_recreates_target(demo_scene):
+    r = Renderer(demo_scene, RendererConfig(width=96, height=64, segment_headroom=192))
+    out = r.render_to_host(demo_camera())
+    assert out.shape == (64, 96, 4)
+    r.recreate_swapchain(128, 72)
+    out2 = r.render_to_host(demo_camera())
+    assert out2.shape == (72, 128, 4)
+
+
+def test_engine_loop_double_buffered(demo_scene):
+    eng = Engine(scene=demo_scene, config=RendererConfig(width=96, height=64, segment_headroom=192))
+    first = eng.tick()
+    assert first is None  # frame 0 still in flight
+    second = eng.tick(move=MoveDirection(forward=True))
+    assert second is not None and second.shape == (64, 96, 4)
+    final = eng.run(3)
+    assert final.shape == (64, 96, 4)
+    assert eng.stats.p50_ms > 0
+    # Moving forward must change the camera position.
+    assert eng.camera.position[2] > -2.5
+
+
+def test_specular_highlight_present(demo_scene):
+    # The crate albedo has a specular mask; with the light from (1,-1,1)
+    # some crate pixels should be brighter than the pure-diffuse bound
+    # (ambient+diffuse)*albedo <= (0.1+1)*lcol*1; specular adds beyond
+    # diffuse-only. Weak but useful signal: max luminance on covered,
+    # non-fallback pixels exceeds diffuse-only ceiling of dark wood.
+    r = Renderer(demo_scene, RendererConfig(width=256, height=256, segment_headroom=192))
+    cam = Camera.from_target([0.0, 1.0, -1.2], [0, 1.2, 0])  # look at crate
+    out = r.render_to_host(cam).astype(np.float32)
+    assert out[..., :3].max() > 60  # highlights clearly above base albedo

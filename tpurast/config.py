@@ -49,15 +49,19 @@ class RendererConfig:
     # --- TPU pipeline tunables (no reference analog; the GPU rasterizer's
     # fixed-function tiling made these implicit). ---
     # Framebuffer tile size: one Pallas program rasterizes one tile.
-    # (tile_h, tile_w) should stay multiples of the f32 VPU register tile
-    # (8, 128) so depth/visibility blocks map onto lanes without padding.
+    # tile_h*tile_w must be a multiple of 128 (the kernel's flat-lane
+    # pixel layout). Square 32x32 tiles give the best binning precision
+    # per pixel (fewer triangle-tile pairs than skinny lane-width tiles).
     tile_h: int = 32
-    tile_w: int = 128
-    # Per-tile triangle bin capacity (static shape). Overflow is detected and
-    # reported; see kernels/binning.py.
-    bin_capacity: int = 1024
-    # Number of triangles rasterized per inner-loop step of the Pallas kernel.
-    raster_chunk: int = 8
+    tile_w: int = 32
+    # Per-tile triangle bin capacity (static shape). None = auto-size to
+    # the scene's face count (never drops triangles). A fixed value bounds
+    # the per-tile pre-gather memory; overflow is counted and reported.
+    bin_capacity: int | None = None
+    # Extra raster work segments beyond one-per-tile (covers tiles whose
+    # bins exceed 128 triangles). Each segment is a (tile, 128-triangle
+    # chunk) grid step; see kernels/raster.py.
+    segment_headroom: int = 2048
 
     # Texture sampling: trilinear by default (the reference requests
     # anisotropy 16 (src/Renderer.zig:515) but the baseline configs only

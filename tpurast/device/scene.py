@@ -1,0 +1,205 @@
+"""Scene geometry residency: flat, padded, device-ready draw buffers.
+
+The reference keeps per-primitive vertex/index/uniform buffers and walks
+them in a CPU loop of bind+draw calls (src/Renderer.zig:1034-1072). The
+TPU-native design concatenates every primitive of every model into one
+set of arrays so a frame is ONE batched vertex transform + raster, with a
+per-face primitive id carrying the material/transform binding.
+
+Instancing (BASELINE config #4) is primitive replication at build time:
+the reference always draws instanceCount=1 (src/Renderer.zig:1069), and
+instance transforms here become additional primitive records sharing the
+same vertex range.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+
+import numpy as np
+
+from tpurast.assets.gltf import GltfModel, PrimitiveDraw, load_glb
+from tpurast.assets.ktx2 import load_ktx2
+from tpurast.device import textures as tex_mod
+
+log = logging.getLogger("tpurast.device")
+
+
+def _pad_to(arr: np.ndarray, n: int, fill=0) -> np.ndarray:
+    pad = n - arr.shape[0]
+    if pad <= 0:
+        return arr
+    pad_block = np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad_block], axis=0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class DeviceScene:
+    """Host-staged scene; `.device()` returns the jnp pytree for the frame
+    function. All array sizes are padded to static shapes."""
+
+    positions: np.ndarray  # (Vp, 3) f32, model space
+    normals: np.ndarray  # (Vp, 3) f32, model space
+    uvs: np.ndarray  # (Vp, 2) f32
+    vert_prim: np.ndarray  # (Vp,) i32
+    faces: np.ndarray  # (Fp, 3) i32, global vertex indices
+    face_prim: np.ndarray  # (Fp,) i32
+    n_faces: int
+    n_vertices: int
+    models: np.ndarray  # (P, 4, 4) f32
+    normal_mats: np.ndarray  # (P, 3, 3) f32
+    prim_tex: np.ndarray  # (P,) i32 texture id (0 = fallback)
+    atlas: tex_mod.TextureAtlas
+    texture_uris: list[str]
+
+    @property
+    def triangle_count(self) -> int:
+        return self.n_faces
+
+    def device(self):
+        import jax.numpy as jnp
+
+        return {
+            "positions": jnp.asarray(self.positions),
+            "normals": jnp.asarray(self.normals),
+            "uvs": jnp.asarray(self.uvs),
+            "vert_prim": jnp.asarray(self.vert_prim),
+            "faces": jnp.asarray(self.faces),
+            "face_prim": jnp.asarray(self.face_prim),
+            "n_faces": jnp.int32(self.n_faces),
+            "models": jnp.asarray(self.models),
+            "normal_mats": jnp.asarray(self.normal_mats),
+            "prim_tex": jnp.asarray(self.prim_tex),
+            "atlas": self.atlas.device(),
+        }
+
+
+def build_scene(
+    models: list[GltfModel],
+    data_dir: str | os.PathLike | None = None,
+    face_pad: int = 256,
+    vert_pad: int = 128,
+) -> DeviceScene:
+    """Assemble parsed models into flat device buffers + texture atlas.
+
+    ``data_dir`` resolves image URIs (the reference resolves them against
+    its data dir and caches by URI, src/Renderer.zig:689-699); missing
+    files bind the fallback texture (texture id 0), mirroring
+    src/Renderer.zig:724-746.
+    """
+    draws: list[PrimitiveDraw] = [d for m in models for d in m.draws]
+
+    # Texture registry: id 0 is the fallback; others keyed by URI.
+    uri_to_id: dict[str, int] = {}
+    pyramids: list[list[np.ndarray]] = [tex_mod.fallback_texture()]
+    texture_uris = ["builtin://fallback-texture"]  # src/Renderer.zig:551-557
+
+    def texture_id(uri: str | None) -> int:
+        if uri is None:
+            return 0
+        if uri in uri_to_id:
+            return uri_to_id[uri]
+        path = os.path.join(data_dir, uri) if data_dir is not None else uri
+        if not os.path.exists(path):
+            log.error("failed to find texture: %s", uri)
+            uri_to_id[uri] = 0
+            return 0
+        ktx = load_ktx2(path)
+        pyramids.append(tex_mod.decode_ktx2_texture(ktx))
+        tid = len(pyramids) - 1
+        uri_to_id[uri] = tid
+        texture_uris.append(uri)
+        log.debug("texture %d: %s (%s %dx%d, %d mips)", tid, uri, ktx.format_name, ktx.width, ktx.height, ktx.level_count)
+        return tid
+
+    positions, normals, uvs, vert_prim = [], [], [], []
+    faces, face_prim = [], []
+    prim_models, prim_normal_mats, prim_tex = [], [], []
+    v_cursor = 0
+    for pid, d in enumerate(draws):
+        nv = d.positions.shape[0]
+        positions.append(d.positions.astype(np.float32))
+        normals.append(d.normals.astype(np.float32))
+        uvs.append(d.uvs.astype(np.float32))
+        vert_prim.append(np.full(nv, pid, dtype=np.int32))
+        faces.append(d.indices.astype(np.int64).reshape(-1, 3).astype(np.int32) + v_cursor)
+        face_prim.append(np.full(len(d.indices) // 3, pid, dtype=np.int32))
+        prim_models.append(d.model_matrix.astype(np.float32))
+        prim_normal_mats.append(d.normal_matrix.astype(np.float32))
+        prim_tex.append(texture_id(d.image_uri))
+        v_cursor += nv
+
+    pos = np.concatenate(positions) if positions else np.zeros((0, 3), np.float32)
+    nrm = np.concatenate(normals) if normals else np.zeros((0, 3), np.float32)
+    uv = np.concatenate(uvs) if uvs else np.zeros((0, 2), np.float32)
+    vp = np.concatenate(vert_prim) if vert_prim else np.zeros(0, np.int32)
+    fc = np.concatenate(faces) if faces else np.zeros((0, 3), np.int32)
+    fp = np.concatenate(face_prim) if face_prim else np.zeros(0, np.int32)
+
+    n_faces = fc.shape[0]
+    n_vertices = pos.shape[0]
+    fpad = max(face_pad, _round_up(n_faces, face_pad))
+    vpad = max(vert_pad, _round_up(n_vertices, vert_pad))
+
+    return DeviceScene(
+        positions=_pad_to(pos, vpad),
+        normals=_pad_to(nrm, vpad),
+        uvs=_pad_to(uv, vpad),
+        vert_prim=_pad_to(vp, vpad),
+        faces=_pad_to(fc, fpad),
+        face_prim=_pad_to(fp, fpad),
+        n_faces=n_faces,
+        n_vertices=n_vertices,
+        models=np.stack(prim_models) if prim_models else np.eye(4, dtype=np.float32)[None],
+        normal_mats=np.stack(prim_normal_mats) if prim_normal_mats else np.eye(3, dtype=np.float32)[None],
+        prim_tex=np.asarray(prim_tex if prim_tex else [0], dtype=np.int32),
+        atlas=tex_mod.build_atlas(pyramids),
+        texture_uris=texture_uris,
+    )
+
+
+def load_demo_scene(data_dir: str, include_porsche: bool = True) -> DeviceScene:
+    """The reference's 4-model demo scene (src/Engine.zig:110-141).
+
+    porche.glb is stripped from the reference mount
+    (.MISSING_LARGE_BLOBS); when absent it is skipped with a log line.
+    """
+    from tpurast import math3d
+
+    up = math3d.WORLD_SPACE.up.vector()
+    fwd = math3d.WORLD_SPACE.forward.vector()
+    placements = [
+        ("meshes/arena.glb", math3d.mat4_identity()),
+        ("meshes/stanford_dragon.glb", math3d.translation(up * -1.0)),
+        (
+            "meshes/crate.glb",
+            # scaleUniform(translate(I, up*-1.4), 0.4): scale applied first.
+            math3d.compose(math3d.scaling(0.4), math3d.translation(up * -1.4)),
+        ),
+    ]
+    if include_porsche:
+        placements.append(
+            (
+                "meshes/porche.glb",
+                # rotateAxis(translate(I, fwd*2 + up*-1.95), 90deg, up):
+                # rotation applied first (cglm post-multiply).
+                math3d.compose(
+                    math3d.rotation_axis(np.deg2rad(90.0), up),
+                    math3d.translation(fwd * 2.0 + up * -1.95),
+                ),
+            )
+        )
+    models = []
+    for rel, post in placements:
+        path = os.path.join(data_dir, rel)
+        if not os.path.exists(path):
+            log.warning("%s missing from data dir (stripped blob?) — skipped", rel)
+            continue
+        models.append(load_glb(path, post_transform=post))
+    return build_scene(models, data_dir=data_dir)

@@ -1,0 +1,262 @@
+"""Pallas visibility-buffer rasterization kernel (segment-scheduled).
+
+The screen is divided into tiles; binning (kernels/geometry.py) produced a
+per-tile list of triangles. Rather than padding every tile to a worst-case
+capacity, the raster grid enumerates *work segments*: (tile, chunk-of-128-
+triangles) pairs, built on device from the bin counts. Sparse tiles cost
+one segment; dense tiles get several consecutive segments; the total work
+and the pre-gathered setup are O(binned pairs), not O(tiles x capacity).
+This is the TPU analog of a GPU binned rasterizer's per-tile work queue,
+expressed as a data-dependent Pallas index map over a static grid
+(PrefetchScalarGridSpec: segment tables live in SMEM and drive both the
+kernel and the BlockSpec index maps).
+
+Each segment evaluates its 128 triangles against all N tile pixels in one
+vectorized block: per-triangle setup fields are (1, 128) lane rows (the
+setup is pre-gathered into lane-major (16, G*128) layout), pixels are an
+(N, 1) sublane column, so every edge evaluation is a legal single-axis-
+broadcast multiply producing (N, 128) — no dynamically-indexed scalar
+broadcasts (unsupported by Mosaic) and no minor-dim padding anywhere.
+
+The per-pixel result is the reversed-Z depth plus the winning *face id*
+(visibility buffer; shading happens once per pixel in kernels/shade.py).
+Draw-order semantics match wgpu: depth compare GreaterEqual
+(src/Renderer.zig:414-417) means max depth wins and, on ties, the later
+draw wins — face ids within a tile bin are in draw order, so a lane max
+over the face-id field implements the tie-break exactly.
+
+Replaces the GPU rasterizer + depth unit state of src/Renderer.zig:
+396-462/:1014: triangle list, CCW front + back cull (in geometry setup),
+Depth32Float GreaterEqual, depth clear 0.0, no MSAA. Fragments with z
+outside [0,1] are discarded (clip-volume z test — with clipless
+homogeneous rasterization this replaces near-plane polygon clipping).
+Top-left fill rule on shared edges matches Vulkan/D3D rules.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurast import kernels as _k
+
+CHUNK = 128  # triangles per segment == lane width
+SETUP_WIDTH = 16
+FACE_FIELD = 15  # setup row holding the face id (see geometry.triangle_setup)
+
+
+def _edge_covered(e, a, b):
+    """Coverage for one edge with interior-negative convention and the
+    top-left fill rule: on-edge pixels covered iff the edge gradient
+    points right (a < 0 -> left edge) or the edge is horizontal with the
+    interior below (a == 0 and b < 0 -> top edge)."""
+    on_edge_ok = (a < 0.0) | ((a == 0.0) & (b < 0.0))
+    return (e < 0.0) | ((e == 0.0) & on_edge_ok)
+
+
+def _raster_kernel(
+    counts_ref,  # SMEM (T,) int32 — per-tile bin sizes
+    seg_tile_ref,  # SMEM (G,) int32 — segment -> tile
+    seg_block_ref,  # SMEM (G,) int32 — segment -> chunk index within tile
+    setup_ref,  # VMEM (16, 128) f32 — this segment's lane-major setup
+    depth_ref,  # VMEM (1, 1, N) f32 out (revisited across segments)
+    fid_ref,  # VMEM (1, 1, N) f32 out — winning face id, -1 = none
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    clear_depth: float,
+):
+    g = pl.program_id(0)
+    t = seg_tile_ref[g]
+    j = seg_block_ref[g]
+    ty = t // tiles_x
+    tx = t % tiles_x
+    n = tile_h * tile_w
+    lin = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    # Global pixel-center coordinates (+0.5: Vulkan/WebGPU sample points).
+    px = (tx * tile_w).astype(jnp.float32) + 0.5 + (lin % tile_w).astype(jnp.float32)
+    py = (ty * tile_h).astype(jnp.float32) + 0.5 + (lin // tile_w).astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        depth_ref[0] = jnp.full((1, n), clear_depth, dtype=jnp.float32)
+        fid_ref[0] = jnp.full((1, n), -1.0, dtype=jnp.float32)
+
+    count = jnp.minimum(jnp.maximum(counts_ref[t] - j * CHUNK, 0), CHUNK)
+
+    @pl.when(count > 0)
+    def _chunk():
+        def f(i):  # per-triangle field as a (1, C) lane row
+            return setup_ref[i : i + 1, :]
+
+        e0 = px * f(0) + py * f(1) + f(2)  # (N, C)
+        e1 = px * f(3) + py * f(4) + f(5)
+        e2 = px * f(6) + py * f(7) + f(8)
+
+        # Two sign regions: all-negative is the ordinary interior; the
+        # all-positive region only exists for triangles crossing w=0
+        # (external triangles, their far sheet).
+        cov_n = (
+            _edge_covered(e0, f(0), f(1))
+            & _edge_covered(e1, f(3), f(4))
+            & _edge_covered(e2, f(6), f(7))
+        )
+        cov_p = (
+            _edge_covered(-e0, -f(0), -f(1))
+            & _edge_covered(-e1, -f(3), -f(4))
+            & _edge_covered(-e2, -f(6), -f(7))
+        )
+        esum = e0 + e1 + e2
+        ez = e0 * f(9) + e1 * f(10) + e2 * f(11)
+        ew = e0 * f(12) + e1 * f(13) + e2 * f(14)
+        # Interpolated view depth w(p) = ew/esum must be positive (in
+        # front of the eye); z in [0, 1] is the clip-volume test.
+        w_front = (ew * esum) > 0.0
+        z = ez / jnp.where(ew == 0.0, jnp.float32(1e-30), ew)
+        z_ok = (z >= 0.0) & (z <= 1.0)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        active = lane < count
+        covered = (cov_n | cov_p) & w_front & z_ok & active  # (N, C)
+
+        z_masked = jnp.where(covered, z, jnp.float32(-1.0))
+        z_best = jnp.max(z_masked, axis=1, keepdims=True)  # (N, 1)
+        # Later draw wins depth ties (GreaterEqual): face ids are in draw
+        # order within the bin, so max face id among the best-z lanes.
+        cand = jnp.where(covered & (z_masked == z_best), f(FACE_FIELD), -1.0)
+        fid_best = jnp.max(cand, axis=1, keepdims=True)  # (N, 1)
+
+        z_row = z_best.reshape(1, n)
+        fid_row = fid_best.reshape(1, n)
+        passes = (z_row >= depth_ref[0]) & (fid_row >= 0.0)
+        depth_ref[0] = jnp.where(passes, z_row, depth_ref[0])
+        fid_ref[0] = jnp.where(passes, fid_row, fid_ref[0])
+
+
+def build_segments(tile_counts, n_segments: int, max_blocks_per_tile: int):
+    """Segment tables from bin counts (on device).
+
+    Every tile gets at least one segment (it must clear its output block);
+    tiles with count > CHUNK get ceil(count/CHUNK) consecutive segments.
+    Tail entries beyond the real total point at (tile 0, block 0) — the
+    kernel re-rasterizes that block idempotently. If n_segments is too
+    small for the scene, excess segments are dropped and reported.
+
+    Returns (seg_tile (G,), seg_block (G,), n_dropped scalar).
+    """
+    t = tile_counts.shape[0]
+    nb = jnp.maximum(-(-tile_counts // CHUNK), 1)  # >= 1 per tile
+    start = jnp.cumsum(nb) - nb  # (T,)
+    total = start[-1] + nb[-1]
+    j = jnp.arange(max_blocks_per_tile, dtype=jnp.int32)[None, :]  # (1, B)
+    ok = j < nb[:, None]
+    dest = jnp.where(ok, start[:, None] + j, n_segments)
+    tiles = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], dest.shape)
+    seg_tile = (
+        jnp.zeros(n_segments, dtype=jnp.int32)
+        .at[dest.reshape(-1)]
+        .set(tiles.reshape(-1), mode="drop")
+    )
+    seg_block = (
+        jnp.zeros(n_segments, dtype=jnp.int32)
+        .at[dest.reshape(-1)]
+        .set(jnp.broadcast_to(j, dest.shape).reshape(-1), mode="drop")
+    )
+    return seg_tile, seg_block, jnp.maximum(total - n_segments, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_h", "tile_w", "tiles_x", "tiles_y", "clear_depth", "segment_headroom"),
+)
+def rasterize_visibility(
+    tile_counts,  # (T,) int32
+    setup,  # (F, 16) f32 triangle setup (field 15 = face id)
+    tile_ids,  # (T, K) int32 binned face ids
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    tiles_y: int,
+    clear_depth: float = 0.0,
+    segment_headroom: int = 2048,
+):
+    """Run the visibility kernel over all tiles.
+
+    Returns (depth (H, W) f32, fid (H, W) int32) with H = tiles_y*tile_h,
+    W = tiles_x*tile_w; fid == -1 where no triangle covers the pixel.
+    """
+    t = tiles_x * tiles_y
+    k = tile_ids.shape[1]
+    n = tile_h * tile_w
+    assert n % 128 == 0, "tile pixel count must be a multiple of the lane width"
+
+    max_blocks = -(-k // CHUNK)
+    # Upper bound on real segments is t*max_blocks; headroom only matters
+    # when the capacity K allows more blocks than the headroom covers.
+    n_segments = min(t + segment_headroom, t * max_blocks)
+    seg_tile, seg_block, _dropped = build_segments(tile_counts, n_segments, max_blocks)
+
+    # Per-segment triangle slots -> face ids -> lane-major setup rows.
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    slot = jnp.minimum(seg_block[:, None] * CHUNK + lane, k - 1)  # (G, C)
+    seg_faces = tile_ids.reshape(-1)[
+        (seg_tile[:, None] * k + slot).reshape(-1)
+    ]  # (G*C,)
+    # Row gather (fast path) then transpose to lane-major (16, G*C).
+    setup_lanes = setup[seg_faces].T
+
+    kernel = functools.partial(
+        _raster_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        clear_depth=clear_depth,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # counts, seg_tile, seg_block
+        grid=(n_segments,),
+        in_specs=[
+            pl.BlockSpec((SETUP_WIDTH, CHUNK), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, n),
+                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, n),
+                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    depth, fid_f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((t, 1, n), jnp.float32),
+        ],
+        interpret=_k.interpret_mode(),
+    )(tile_counts, seg_tile, seg_block, setup_lanes)
+    fid = fid_f.astype(jnp.int32)
+    return (
+        _tiles_to_image(depth, tile_h, tile_w, tiles_x, tiles_y),
+        _tiles_to_image(fid, tile_h, tile_w, tiles_x, tiles_y),
+    )
+
+
+def _tiles_to_image(flat, tile_h, tile_w, tiles_x, tiles_y):
+    """(T, 1, tile_h*tile_w) -> (H, W) framebuffer layout (XLA reshape)."""
+    return (
+        flat.reshape(tiles_y, tiles_x, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w)
+    )

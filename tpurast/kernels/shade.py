@@ -1,0 +1,224 @@
+"""Deferred shading: perspective-correct interpolation + lighting + texture.
+
+Consumes the visibility buffer (per-pixel winning face id) and shades each
+covered pixel exactly once:
+
+  1. ONE fat-row gather per pixel fetches everything about the winning
+     triangle: edge setup, per-vertex world position / normal / UV, and
+     texture id, packed into a 48-float row (XLA:TPU gather cost is per
+     ROW, nearly independent of row width — four narrow gathers cost 4x
+     one fat gather on v5e).
+  2. Homogeneous edge functions are re-evaluated at the pixel; weights
+     u_i = e_i / sum(e) are the perspective-correct barycentrics (see
+     kernels/geometry.py).
+  3. Mip level comes from analytic UV screen derivatives (closed-form
+     gradients of the rational interpolant — no quad neighborhoods on
+     TPU, SURVEY §7 hard-part #4); per-level atlas offset/size are
+     lane-selected from a second fat row (masked reduction, not a
+     minor-dim gather).
+  4. Trilinear = 2 mips x 4 bilinear taps = 8 texel-row gathers.
+  5. Lighting: ambient + Lambert diffuse + Phong specular with the
+     specular mask in albedo alpha — basic.frag:15-38, same constants.
+
+Everything is jnp over the full framebuffer: gathers + fused elementwise
+math, HBM-bandwidth bound.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Fat-row layout for the per-face shading table (see pack_shade_rows).
+ROW_SETUP = slice(0, 16)
+ROW_WORLD = slice(16, 25)
+ROW_NORMAL = slice(25, 34)
+ROW_UV = slice(34, 40)
+ROW_TEX = 40
+SHADE_ROW_WIDTH = 48
+
+# Texture-info row layout (int32): per-mip offset/width/height + mip count.
+TEX_ROW_WIDTH = 64  # [offsets(16) | widths(16) | heights(16) | n_mips | pad]
+
+
+def pack_shade_rows(setup, face_world, face_normal, face_uv, face_tex):
+    """Build the (F, 48) fat shading table (per frame, F-sized: cheap)."""
+    f = setup.shape[0]
+    return jnp.concatenate(
+        [
+            setup,
+            face_world.reshape(f, 9),
+            face_normal.reshape(f, 9),
+            face_uv.reshape(f, 6),
+            face_tex.astype(jnp.float32)[:, None],
+            jnp.zeros((f, SHADE_ROW_WIDTH - 41), dtype=jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def pack_tex_table(atlas):
+    """(TEX, 64) int32: per-texture mip offsets/sizes + mip count."""
+    offsets = atlas["offsets"]  # (TEX, 16)
+    sizes = atlas["sizes"]  # (TEX, 16, 2)
+    n_mips = atlas["n_mips"]  # (TEX,)
+    ntex = offsets.shape[0]
+    return jnp.concatenate(
+        [
+            offsets.astype(jnp.int32),
+            sizes[..., 0].astype(jnp.int32),
+            sizes[..., 1].astype(jnp.int32),
+            n_mips.astype(jnp.int32)[:, None],
+            jnp.zeros((ntex, TEX_ROW_WIDTH - 49), dtype=jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def _safe_div(a, b, eps=1e-30):
+    return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+
+
+def _rnorm(vec):
+    """1/||vec|| with zero-safe clamp, keepdims."""
+    return jax.lax.rsqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1, keepdims=True), 1e-20))
+
+
+def _lane_select(rows, lane):
+    """rows (..., 16) selected at per-element lane index (masked reduce —
+    avoids XLA's slow minor-dim gather path)."""
+    iota = jnp.arange(16, dtype=lane.dtype)
+    return jnp.sum(jnp.where(lane[..., None] == iota, rows, 0), axis=-1)
+
+
+def _bilinear(texels, off, w, h, u, v):
+    """Bilinear tap with repeat addressing; off/w/h per pixel (int32)."""
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
+    t00 = texels[off + y0i * w + x0i]
+    t10 = texels[off + y0i * w + x1i]
+    t01 = texels[off + y1i * w + x0i]
+    t11 = texels[off + y1i * w + x1i]
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def shade_deferred(
+    fid,  # (H, W) int32 face id, -1 background
+    shade_rows,  # (F, 48) f32 packed per-face table
+    tex_table,  # (TEX, 64) i32 packed per-texture mip table
+    texels,  # (N, 4) f32 linear atlas
+    camera_position,  # (3,) f32
+    *,
+    light_direction,
+    light_color,
+    ambient_amount: float,
+    specular_power: float,
+    clear_color,
+):
+    """Returns (H, W, 4) f32 linear-color framebuffer."""
+    h, w = fid.shape
+    mask = fid >= 0
+    f = jnp.maximum(fid, 0)
+
+    rows = shade_rows[f]  # (H, W, 48) — THE gather
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    e0 = rows[..., 0] * px + rows[..., 1] * py + rows[..., 2]
+    e1 = rows[..., 3] * px + rows[..., 4] * py + rows[..., 5]
+    e2 = rows[..., 6] * px + rows[..., 7] * py + rows[..., 8]
+    esum = e0 + e1 + e2
+    inv_esum = _safe_div(jnp.float32(1.0), esum)
+    u0 = e0 * inv_esum
+    u1 = e1 * inv_esum
+    u2 = e2 * inv_esum
+
+    def interp3(base):  # vec3 attribute at slots [base, base+9)
+        return jnp.stack(
+            [
+                u0 * rows[..., base + 0] + u1 * rows[..., base + 3] + u2 * rows[..., base + 6],
+                u0 * rows[..., base + 1] + u1 * rows[..., base + 4] + u2 * rows[..., base + 7],
+                u0 * rows[..., base + 2] + u1 * rows[..., base + 5] + u2 * rows[..., base + 8],
+            ],
+            axis=-1,
+        )
+
+    world = interp3(16)
+    normal = interp3(25)
+    uv_u = u0 * rows[..., 34] + u1 * rows[..., 36] + u2 * rows[..., 38]
+    uv_v = u0 * rows[..., 35] + u1 * rows[..., 37] + u2 * rows[..., 39]
+
+    # Analytic UV screen derivatives: uv = N(p)/D(p), N and D linear in p.
+    a0, a1, a2 = rows[..., 0], rows[..., 3], rows[..., 6]
+    b0, b1, b2 = rows[..., 1], rows[..., 4], rows[..., 7]
+    d_x = a0 + a1 + a2
+    d_y = b0 + b1 + b2
+    inv2 = inv_esum * inv_esum
+
+    def duv(c0, c1, c2):
+        n = e0 * c0 + e1 * c1 + e2 * c2
+        nx = a0 * c0 + a1 * c1 + a2 * c2
+        ny = b0 * c0 + b1 * c1 + b2 * c2
+        return (nx * esum - n * d_x) * inv2, (ny * esum - n * d_y) * inv2
+
+    du_dx, du_dy = duv(rows[..., 34], rows[..., 36], rows[..., 38])
+    dv_dx, dv_dy = duv(rows[..., 35], rows[..., 37], rows[..., 39])
+
+    # --- texture sampling -------------------------------------------------
+    tex_id = rows[..., ROW_TEX].astype(jnp.int32)
+    trow = tex_table[tex_id]  # (H, W, 64) — texture-info gather
+    w0 = trow[..., 16].astype(jnp.float32)
+    h0 = trow[..., 32].astype(jnp.float32)
+    n_mips = trow[..., 48]
+
+    rho2 = jnp.maximum(
+        (du_dx * w0) ** 2 + (dv_dx * h0) ** 2,
+        (du_dy * w0) ** 2 + (dv_dy * h0) ** 2,
+    )
+    lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-24))
+    lod = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_mips - 1)
+    tfrac = (lod - l0.astype(jnp.float32))[..., None]
+
+    def level_fields(lvl):
+        off = _lane_select(trow[..., 0:16], lvl)
+        tw = _lane_select(trow[..., 16:32], lvl)
+        th = _lane_select(trow[..., 32:48], lvl)
+        return off, tw, th
+
+    off0, tw0, th0 = level_fields(l0)
+    off1, tw1, th1 = level_fields(l1)
+    c0 = _bilinear(texels, off0, tw0, th0, uv_u, uv_v)
+    c1 = _bilinear(texels, off1, tw1, th1, uv_u, uv_v)
+    albedo = c0 * (1 - tfrac) + c1 * tfrac
+
+    # --- basic.frag lighting ---------------------------------------------
+    ldir = jnp.asarray(light_direction, dtype=jnp.float32)
+    lcol = jnp.asarray(light_color, dtype=jnp.float32)
+    n = normal * _rnorm(normal)
+    view_dir = camera_position[None, None, :] - world
+    v = view_dir * _rnorm(view_dir)
+
+    n_dot_l = jnp.sum(n * ldir, axis=-1, keepdims=True)
+    diffuse_amount = jnp.maximum(0.0, n_dot_l)
+    r = 2.0 * n_dot_l * n - ldir  # reflect(-l, n)
+    spec_amount = albedo[..., 3:4] * jnp.power(
+        jnp.maximum(0.0, jnp.sum(v * r, axis=-1, keepdims=True)), specular_power
+    )
+    color = (ambient_amount + diffuse_amount) * lcol * albedo[..., :3] + spec_amount * lcol
+
+    out = jnp.concatenate([color, jnp.ones_like(color[..., :1])], axis=-1)
+    clear = jnp.asarray(clear_color, dtype=jnp.float32)
+    return jnp.where(mask[..., None], out, clear[None, None, :])

@@ -1,0 +1,219 @@
+"""The Renderer: device/pipeline lifecycle + per-frame orchestration.
+
+Equivalent of src/Renderer.zig (init :162, renderFrame :950,
+recreateSwapchain :631): owns the jit-compiled frame function, the
+HBM-resident scene, and the render-target configuration. A "frame" is one
+jit call:
+
+  vertex transform -> triangle setup/cull -> tile binning
+  -> Pallas visibility raster -> deferred shade -> sRGB encode
+
+All stages are traced into a single XLA program, so per-frame host work is
+one dispatch + the 4x4 view matrix upload (the reference's per-frame
+traffic is likewise just the 144-byte frame UBO, SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurast import math3d
+from tpurast.camera import Camera
+from tpurast.config import RendererConfig
+from tpurast.device.scene import DeviceScene
+from tpurast.kernels import geometry, present, raster, shade
+
+log = logging.getLogger("tpurast.renderer")
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def render_frame(
+    scene,
+    view_proj,
+    camera_position,
+    *,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    tiles_y: int,
+    bin_capacity: int,
+    segment_headroom: int,
+    clear_depth: float,
+    clear_color,
+    light_direction,
+    light_color,
+    ambient_amount: float,
+    specular_power: float,
+    output: str = "srgb_u8",
+):
+    """Pure frame function (jit-traced once per config/scene shape).
+
+    Returns dict with framebuffer plus profiling scalars (overflow count).
+    """
+    clip, world, wnormal = geometry.transform_vertices(
+        scene["positions"],
+        scene["normals"],
+        scene["vert_prim"],
+        scene["models"],
+        scene["normal_mats"],
+        view_proj,
+    )
+    setup_out = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"], width, height)
+    tile_ids, tile_counts, overflow = geometry.bin_triangles(
+        setup_out["aabb"],
+        setup_out["valid"],
+        tiles_x,
+        tiles_y,
+        tile_w,
+        tile_h,
+        bin_capacity,
+    )
+    depth, fid = raster.rasterize_visibility(
+        tile_counts,
+        setup_out["setup"],
+        tile_ids,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        clear_depth=clear_depth,
+        segment_headroom=segment_headroom,
+    )
+
+    faces = scene["faces"]
+    shade_rows = shade.pack_shade_rows(
+        setup_out["setup"],
+        world[faces],
+        wnormal[faces],
+        scene["uvs"][faces],
+        scene["prim_tex"][scene["face_prim"]],
+    )
+    framebuffer = shade.shade_deferred(
+        fid,
+        shade_rows,
+        shade.pack_tex_table(scene["atlas"]),
+        scene["atlas"]["texels"],
+        camera_position,
+        light_direction=light_direction,
+        light_color=light_color,
+        ambient_amount=ambient_amount,
+        specular_power=specular_power,
+        clear_color=clear_color,
+    )
+    result = {
+        "depth": present.crop_linear(depth, width, height),
+        "bin_overflow": jnp.sum(overflow),
+    }
+    if output == "srgb_u8":
+        result["color"] = present.encode_srgb_u8(framebuffer, width, height)
+    else:
+        result["color"] = present.crop_linear(framebuffer, width, height)
+    return result
+
+
+class Renderer:
+    """Owns compiled pipeline + resident scene (the wgpu device+queue+
+    pipeline+swapchain bundle of the reference)."""
+
+    def __init__(
+        self,
+        scene: DeviceScene,
+        config: RendererConfig | None = None,
+        output: str = "srgb_u8",
+    ):
+        self.config = config or RendererConfig()
+        cfg = self.config
+        self.scene_host = scene
+        self.scene = scene.device()
+        self.output = output
+        self._configure_target(cfg.width, cfg.height)
+        log.info(
+            "renderer init: %dx%d, %d tris, %d textures, backend=%s",
+            cfg.width,
+            cfg.height,
+            scene.n_faces,
+            len(scene.texture_uris),
+            jax.default_backend(),
+        )
+
+    # -- swapchain-equivalent: (re)configure render target ----------------
+    def _configure_target(self, width: int, height: int) -> None:
+        cfg = self.config
+        self.width, self.height = width, height
+        self.tiles_x = _round_up(width, cfg.tile_w) // cfg.tile_w
+        self.tiles_y = _round_up(height, cfg.tile_h) // cfg.tile_h
+        # Auto bin capacity: ideally every face can land in one tile
+        # (never overflows), but the per-tile setup gather is T*K rows —
+        # for large tile counts cap K to a memory budget (~4M binned
+        # slots ~= 256 MB) and surface drops via the bin_overflow
+        # counter. TODO(perf): replace the padded per-tile gather with
+        # count-prefixed segment lists (O(total pairs) memory).
+        if cfg.bin_capacity is None:
+            budget = max(2048, 4_000_000 // max(1, self.tiles_x * self.tiles_y))
+            cap = min(self.scene_host.faces.shape[0], budget)
+        else:
+            cap = cfg.bin_capacity
+        self.bin_capacity = _round_up(max(cap, 128), 128)
+        log.debug(
+            "bin capacity %d (%d tiles, gather %.0f MB)",
+            self.bin_capacity,
+            self.tiles_x * self.tiles_y,
+            self.tiles_x * self.tiles_y * self.bin_capacity * 64 / 1e6,
+        )
+        self.projection = math3d.perspective_inverse_depth(
+            cfg.vfov, width / height, cfg.znear
+        )
+        self._frame_fn = jax.jit(
+            functools.partial(
+                render_frame,
+                width=width,
+                height=height,
+                tile_h=cfg.tile_h,
+                tile_w=cfg.tile_w,
+                tiles_x=self.tiles_x,
+                tiles_y=self.tiles_y,
+                bin_capacity=self.bin_capacity,
+                segment_headroom=cfg.segment_headroom,
+                clear_depth=cfg.clear_depth,
+                clear_color=cfg.clear_color,
+                light_direction=cfg.light_direction,
+                light_color=cfg.light_color,
+                ambient_amount=cfg.ambient_amount,
+                specular_power=cfg.specular_power,
+                output=self.output,
+            )
+        )
+
+    def recreate_swapchain(self, width: int, height: int) -> None:
+        """Resize the render target; recompiles the frame function and
+        recomputes the projection for the new aspect
+        (src/Renderer.zig:631-661)."""
+        self._configure_target(width, height)
+
+    # -- frame -------------------------------------------------------------
+    def frame_uniforms(self, camera: Camera):
+        """FrameData.UniformData equivalent (src/Renderer.zig:127-131)."""
+        view = camera.view_matrix()
+        view_proj = (self.projection @ view).astype(np.float32)
+        return jnp.asarray(view_proj), jnp.asarray(
+            camera.position.astype(np.float32)
+        )
+
+    def render(self, camera: Camera):
+        """Render one frame; returns dict of device arrays (async)."""
+        view_proj, cam_pos = self.frame_uniforms(camera)
+        return self._frame_fn(self.scene, view_proj, cam_pos)
+
+    def render_to_host(self, camera: Camera) -> np.ndarray:
+        """Convenience: blocking render + readback of the color buffer."""
+        return np.asarray(jax.device_get(self.render(camera)["color"]))
