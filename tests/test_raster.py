@@ -29,7 +29,7 @@ def rasterize(clip_verts, faces=None, width=W, height=H, capacity=128):
     ids, counts, overflow = geometry.bin_triangles(
         s["aabb"], s["valid"], tiles_x, tiles_y, TILE_W, TILE_H, capacity
     )
-    depth, fid = raster.rasterize_visibility(
+    depth, fid, _dropped = raster.rasterize_visibility(
         counts,
         s["setup"],
         ids,

@@ -22,7 +22,7 @@ def test_eight_device_mesh_available():
 
 
 def test_sharded_matches_single_device(demo_scene):
-    cfg = RendererConfig(width=160, height=96, segment_headroom=64)
+    cfg = RendererConfig(width=160, height=96, segment_headroom=256)
     cam = Camera.from_target([0, 0, -2.5], [0, 0, 1])
 
     single = Renderer(demo_scene, cfg)
@@ -46,7 +46,7 @@ def test_sharded_matches_single_device(demo_scene):
 def test_sharded_depth_continuity(demo_scene):
     # The depth image must be continuous across slab boundaries (no seams):
     # adjacent rows at the boundary differ no more than within a slab.
-    cfg = RendererConfig(width=160, height=128, tile_h=8, segment_headroom=64)
+    cfg = RendererConfig(width=160, height=128, tile_h=8, segment_headroom=256)
     cam = Camera.from_target([0, 0, -2.5], [0, 0, 1])
     mesh = Mesh(np.array(jax.devices()).reshape(8), axis_names=("tiles",))
     scene_dev = demo_scene.device()

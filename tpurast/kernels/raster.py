@@ -188,8 +188,10 @@ def rasterize_visibility(
 ):
     """Run the visibility kernel over all tiles.
 
-    Returns (depth (H, W) f32, fid (H, W) int32) with H = tiles_y*tile_h,
-    W = tiles_x*tile_w; fid == -1 where no triangle covers the pixel.
+    Returns (depth (H, W) f32, fid (H, W) int32, dropped_segments scalar)
+    with H = tiles_y*tile_h, W = tiles_x*tile_w; fid == -1 where no
+    triangle covers the pixel. dropped_segments > 0 means segment_headroom
+    was too small for this frame and triangles were not rasterized.
     """
     t = tiles_x * tiles_y
     k = tile_ids.shape[1]
@@ -200,7 +202,7 @@ def rasterize_visibility(
     # Upper bound on real segments is t*max_blocks; headroom only matters
     # when the capacity K allows more blocks than the headroom covers.
     n_segments = min(t + segment_headroom, t * max_blocks)
-    seg_tile, seg_block, _dropped = build_segments(tile_counts, n_segments, max_blocks)
+    seg_tile, seg_block, dropped = build_segments(tile_counts, n_segments, max_blocks)
 
     # Per-segment triangle slots -> face ids -> lane-major setup rows.
     lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
@@ -250,6 +252,7 @@ def rasterize_visibility(
     return (
         _tiles_to_image(depth, tile_h, tile_w, tiles_x, tiles_y),
         _tiles_to_image(fid, tile_h, tile_w, tiles_x, tiles_y),
+        dropped,
     )
 
 

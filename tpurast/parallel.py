@@ -89,7 +89,7 @@ def render_frame_sharded(
             tile_h,
             bin_capacity,
         )
-        depth, fid = raster.rasterize_visibility(
+        depth, fid, dropped_segments = raster.rasterize_visibility(
             tile_counts,
             setup_local,
             tile_ids,
@@ -121,7 +121,7 @@ def render_frame_sharded(
             clear_color=clear_color,
         )
         color = present.encode_srgb_u8(fb, tiles_x * tile_w, slab_h)
-        total_overflow = jax.lax.psum(jnp.sum(overflow), axis)
+        total_overflow = jax.lax.psum(jnp.sum(overflow) + dropped_segments, axis)
         return color, depth, total_overflow
 
     color, depth, overflow = jax.shard_map(

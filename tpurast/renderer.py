@@ -78,7 +78,7 @@ def render_frame(
         tile_h,
         bin_capacity,
     )
-    depth, fid = raster.rasterize_visibility(
+    depth, fid, dropped_segments = raster.rasterize_visibility(
         tile_counts,
         setup_out["setup"],
         tile_ids,
@@ -112,7 +112,7 @@ def render_frame(
     )
     result = {
         "depth": present.crop_linear(depth, width, height),
-        "bin_overflow": jnp.sum(overflow),
+        "bin_overflow": jnp.sum(overflow) + dropped_segments,
     }
     if output == "srgb_u8":
         result["color"] = present.encode_srgb_u8(framebuffer, width, height)
