@@ -27,10 +27,17 @@ MAX_MIPS = 16
 
 @dataclasses.dataclass
 class TextureAtlas:
-    """Host-side staging of the atlas; `.device()` uploads via jnp."""
+    """Host-side staging of the atlas; `.device()` uploads via jnp.
 
-    texels: np.ndarray  # (N, 4) f32 linear RGBA
-    offsets: np.ndarray  # (T, MAX_MIPS) i32 flat texel offset per mip
+    Texels are stored as "quad rows": entry (x, y) of a mip holds the
+    whole 2x2 bilinear footprint [(x,y), (x+1,y), (x,y+1), (x+1,y+1)]
+    (neighbors wrapped for repeat addressing), 16 floats per row. One
+    gather per bilinear tap instead of four — XLA:TPU gather cost is per
+    row, so this quarters sampling cost for a 4x memory trade.
+    """
+
+    texels: np.ndarray  # (N, 16) f32 linear RGBA 2x2 quads
+    offsets: np.ndarray  # (T, MAX_MIPS) i32 flat quad-row offset per mip
     sizes: np.ndarray  # (T, MAX_MIPS, 2) i32 (width, height) per mip
     n_mips: np.ndarray  # (T,) i32
 
@@ -104,9 +111,17 @@ def decode_ktx2_texture(tex: ktx2.Ktx2Texture) -> list[np.ndarray]:
     return mips
 
 
+def _quad_rows(m: np.ndarray) -> np.ndarray:
+    """(H, W, 4) -> (H*W, 16) rows of 2x2 wrapped bilinear footprints."""
+    right = np.roll(m, -1, axis=1)
+    down = np.roll(m, -1, axis=0)
+    diag = np.roll(right, -1, axis=0)
+    return np.concatenate([m, right, down, diag], axis=-1).reshape(-1, 16).astype(np.float32)
+
+
 def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
     """Pack per-texture mip pyramids ((H, W, 4) f32 linear each) into the
-    flat atlas. Texture order defines texture ids."""
+    flat quad-row atlas. Texture order defines texture ids."""
     n_tex = len(textures)
     offsets = np.zeros((n_tex, MAX_MIPS), dtype=np.int32)
     sizes = np.ones((n_tex, MAX_MIPS, 2), dtype=np.int32)
@@ -120,7 +135,7 @@ def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
             h, w = m.shape[:2]
             offsets[ti, mi] = cursor
             sizes[ti, mi] = (w, h)
-            chunks.append(m.reshape(-1, 4).astype(np.float32))
+            chunks.append(_quad_rows(m))
             cursor += h * w
         # Clamp lod beyond the chain to the last mip.
         for mi in range(len(mips), MAX_MIPS):
@@ -129,6 +144,6 @@ def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
     texels = (
         np.concatenate(chunks, axis=0)
         if chunks
-        else np.zeros((1, 4), dtype=np.float32)
+        else np.zeros((1, 16), dtype=np.float32)
     )
     return TextureAtlas(texels=texels, offsets=offsets, sizes=sizes, n_mips=n_mips)

@@ -29,47 +29,50 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Fat-row layout for the per-face shading table (see pack_shade_rows).
-ROW_SETUP = slice(0, 16)
-ROW_WORLD = slice(16, 25)
-ROW_NORMAL = slice(25, 34)
-ROW_UV = slice(34, 40)
-ROW_TEX = 40
-SHADE_ROW_WIDTH = 48
+# Fat-row layout for the per-face shading table (see pack_shade_rows):
+# [setup(16) | world(9) | normal(9) | uv(6) | tex-info(49, int32 bitcast)]
+# The texture info (per-mip atlas offset/width/height + mip count) is
+# joined per FACE at pack time — one per-pixel gather fetches everything.
+ROW_TEXINFO = 40
+SHADE_ROW_WIDTH = 96
 
 # Texture-info row layout (int32): per-mip offset/width/height + mip count.
-TEX_ROW_WIDTH = 64  # [offsets(16) | widths(16) | heights(16) | n_mips | pad]
-
-
-def pack_shade_rows(setup, face_world, face_normal, face_uv, face_tex):
-    """Build the (F, 48) fat shading table (per frame, F-sized: cheap)."""
-    f = setup.shape[0]
-    return jnp.concatenate(
-        [
-            setup,
-            face_world.reshape(f, 9),
-            face_normal.reshape(f, 9),
-            face_uv.reshape(f, 6),
-            face_tex.astype(jnp.float32)[:, None],
-            jnp.zeros((f, SHADE_ROW_WIDTH - 41), dtype=jnp.float32),
-        ],
-        axis=1,
-    )
+TEX_ROW_WIDTH = 49  # [offsets(16) | widths(16) | heights(16) | n_mips]
 
 
 def pack_tex_table(atlas):
-    """(TEX, 64) int32: per-texture mip offsets/sizes + mip count."""
+    """(TEX, 49) int32: per-texture mip offsets/sizes + mip count."""
     offsets = atlas["offsets"]  # (TEX, 16)
     sizes = atlas["sizes"]  # (TEX, 16, 2)
     n_mips = atlas["n_mips"]  # (TEX,)
-    ntex = offsets.shape[0]
     return jnp.concatenate(
         [
             offsets.astype(jnp.int32),
             sizes[..., 0].astype(jnp.int32),
             sizes[..., 1].astype(jnp.int32),
             n_mips.astype(jnp.int32)[:, None],
-            jnp.zeros((ntex, TEX_ROW_WIDTH - 49), dtype=jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def pack_shade_rows(setup, face_world, face_normal, face_uv, face_tex, atlas):
+    """Build the (F, 96) fat shading table (per frame, F-sized: cheap).
+
+    Int32 texture info is bitcast into the f32 row (values survive the
+    round trip exactly; atlas offsets exceed f32's 2^24 integer range so
+    they cannot be stored as floats).
+    """
+    f = setup.shape[0]
+    tex_rows = pack_tex_table(atlas)[face_tex]  # (F, 49) i32
+    return jnp.concatenate(
+        [
+            setup,
+            face_world.reshape(f, 9),
+            face_normal.reshape(f, 9),
+            face_uv.reshape(f, 6),
+            jax.lax.bitcast_convert_type(tex_rows, jnp.float32),
+            jnp.zeros((f, SHADE_ROW_WIDTH - ROW_TEXINFO - TEX_ROW_WIDTH), dtype=jnp.float32),
         ],
         axis=1,
     )
@@ -92,7 +95,11 @@ def _lane_select(rows, lane):
 
 
 def _bilinear(texels, off, w, h, u, v):
-    """Bilinear tap with repeat addressing; off/w/h per pixel (int32)."""
+    """Bilinear tap with repeat addressing: ONE quad-row gather.
+
+    texels rows are 2x2 wrapped footprints (device/textures.py), so a
+    single gather at (x0, y0) yields all four corners.
+    """
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
     x = u * wf - 0.5
@@ -102,23 +109,17 @@ def _bilinear(texels, off, w, h, u, v):
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
-    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
-    y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
-    t00 = texels[off + y0i * w + x0i]
-    t10 = texels[off + y0i * w + x1i]
-    t01 = texels[off + y1i * w + x0i]
-    t11 = texels[off + y1i * w + x1i]
-    top = t00 * (1 - fx) + t10 * fx
-    bot = t01 * (1 - fx) + t11 * fx
+    quad = texels[off + y0i * w + x0i]  # (..., 16)
+    top = quad[..., 0:4] * (1 - fx) + quad[..., 4:8] * fx
+    bot = quad[..., 8:12] * (1 - fx) + quad[..., 12:16] * fx
     return top * (1 - fy) + bot * fy
 
 
 def shade_deferred(
     fid,  # (H, W) int32 face id, -1 background
-    shade_rows,  # (F, 48) f32 packed per-face table
-    tex_table,  # (TEX, 64) i32 packed per-texture mip table
-    texels,  # (N, 4) f32 linear atlas
+    shade_rows,  # (F, 96) f32 packed per-face table (incl. tex info)
+    texels,  # (N, 16) f32 linear quad-row atlas
     camera_position,  # (3,) f32
     *,
     light_direction,
@@ -176,8 +177,9 @@ def shade_deferred(
     dv_dx, dv_dy = duv(rows[..., 35], rows[..., 37], rows[..., 39])
 
     # --- texture sampling -------------------------------------------------
-    tex_id = rows[..., ROW_TEX].astype(jnp.int32)
-    trow = tex_table[tex_id]  # (H, W, 64) — texture-info gather
+    trow = jax.lax.bitcast_convert_type(
+        rows[..., ROW_TEXINFO : ROW_TEXINFO + TEX_ROW_WIDTH], jnp.int32
+    )  # (H, W, 49)
     w0 = trow[..., 16].astype(jnp.float32)
     h0 = trow[..., 32].astype(jnp.float32)
     n_mips = trow[..., 48]

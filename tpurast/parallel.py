@@ -107,11 +107,11 @@ def render_frame_sharded(
             wnormal[faces],
             scene_rep["uvs"][faces],
             scene_rep["prim_tex"][scene_rep["face_prim"]],
+            scene_rep["atlas"],
         )
         fb = shade.shade_deferred(
             fid,
             shade_rows,
-            shade.pack_tex_table(scene_rep["atlas"]),
             scene_rep["atlas"]["texels"],
             cam,
             light_direction=light_direction,

@@ -97,11 +97,11 @@ def render_frame(
         wnormal[faces],
         scene["uvs"][faces],
         scene["prim_tex"][scene["face_prim"]],
+        scene["atlas"],
     )
     framebuffer = shade.shade_deferred(
         fid,
         shade_rows,
-        shade.pack_tex_table(scene["atlas"]),
         scene["atlas"]["texels"],
         camera_position,
         light_direction=light_direction,
