@@ -161,3 +161,55 @@ def test_assemble_blocks_crop():
 def test_srgb_roundtrip():
     v = np.linspace(0, 1, 64, dtype=np.float32)
     np.testing.assert_allclose(bcdec.linear_to_srgb(bcdec.srgb_to_linear((v * 255).astype(np.uint8))), v, atol=1 / 255)
+
+
+# ---------------------------------------------------------------------------
+# BC6H (HDR half-float)
+# ---------------------------------------------------------------------------
+
+
+def test_bc6h_shipped_assets_exact(data_dir):
+    # Both shipped BC6H assets decode identically to Pillow's decoder
+    # (after its [0,1]->u8 mapping).
+    from tpurast.assets.bc6h import decode_bc6h
+
+    for name in ("hdr_bc6u.ktx2", "missing_bc6u.ktx2"):
+        t = ktx2.load_ktx2(data_dir / "textures" / name)
+        lvl = t.levels[0]
+        blocks = np.frombuffer(lvl.data, dtype=np.uint8).reshape(-1, 16)
+        mine = bcdec.assemble_blocks(
+            decode_bc6h(blocks), lvl.blocks_x, lvl.blocks_y, lvl.width, lvl.height
+        )
+        ref = np.asarray(
+            Image.frombytes("RGB", (lvl.width, lvl.height), lvl.data, "bcn", (6, ""))
+        )
+        got = np.clip(np.round(mine * 255), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("mode", sorted([0, 1, 2, 3, 6, 7, 10, 11, 14, 15, 18, 22, 26, 30]))
+def test_bc6h_fuzz_all_modes_vs_pillow(mode):
+    from tpurast.assets.bc6h import decode_bc6h
+
+    rng = np.random.default_rng(100 + mode)
+    blocks = rng.integers(0, 256, size=(128, 16), dtype=np.uint8)
+    if mode < 2:
+        blocks[:, 0] = (blocks[:, 0] & ~np.uint8(3)) | mode
+    else:
+        blocks[:, 0] = (blocks[:, 0] & ~np.uint8(31)) | mode
+    mine = decode_bc6h(blocks)
+    assert np.isfinite(mine).all()
+    for i in range(len(blocks)):
+        ref = np.asarray(Image.frombytes("RGB", (4, 4), blocks[i].tobytes(), "bcn", (6, "")))
+        got = np.clip(np.round(mine[i] * 255), 0, 255).astype(int)
+        # <=1 LSB: Pillow's half->u8 rounding differs, never the decode.
+        assert np.abs(got - ref.astype(int)).max() <= 1, f"mode {mode} block {i}"
+
+
+def test_bc6h_decode_level_roundtrip(data_dir):
+    t = ktx2.load_ktx2(data_dir / "textures/missing_bc6u.ktx2")
+    img = bcdec.decode_level(t.levels[0].data, t.format_name, t.width, t.height)
+    assert img.shape == (128, 128, 3) and img.dtype == np.float32
+    # magenta/black checker at half intensity (mean ~0.61/0/0.54).
+    mean = img.reshape(-1, 3).mean(axis=0)
+    assert mean[0] > 0.5 and mean[1] < 0.01 and mean[2] > 0.4
