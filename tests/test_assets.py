@@ -213,3 +213,36 @@ def test_bc6h_decode_level_roundtrip(data_dir):
     # magenta/black checker at half intensity (mean ~0.61/0/0.54).
     mean = img.reshape(-1, 3).mean(axis=0)
     assert mean[0] > 0.5 and mean[1] < 0.01 and mean[2] > 0.4
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) decoder parity
+# ---------------------------------------------------------------------------
+
+
+def test_native_decoders_match_numpy():
+    from tpurast.assets import native
+    from tpurast.assets.bc6h import decode_bc6h as np_bc6h
+
+    if not native.available():
+        pytest.skip("no C++ toolchain in this environment")
+    rng = np.random.default_rng(11)
+    b7 = rng.integers(0, 256, (4096, 16), dtype=np.uint8)
+    np.testing.assert_array_equal(native.decode_bc7(b7), bcdec.decode_bc7(b7))
+    b4 = rng.integers(0, 256, (4096, 8), dtype=np.uint8)
+    np.testing.assert_array_equal(native.decode_bc4(b4), bcdec.decode_bc4(b4))
+    b6 = rng.integers(0, 256, (4096, 16), dtype=np.uint8)
+    np.testing.assert_array_equal(native.decode_bc6h(b6), np_bc6h(b6))
+
+
+def test_decode_level_native_fallback_equivalence(data_dir, monkeypatch):
+    # decode_level must produce identical output with the native path
+    # disabled (TPURAST_NATIVE=0 -> numpy decoders).
+    from tpurast.assets import native
+
+    t = ktx2.load_ktx2(data_dir / "textures/crate/crate_diffuse_specular_bc7.ktx2")
+    a = bcdec.decode_level(t.levels[2].data, t.format_name, 128, 128)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    b = bcdec.decode_level(t.levels[2].data, t.format_name, 128, 128)
+    np.testing.assert_array_equal(a, b)

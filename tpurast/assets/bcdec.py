@@ -298,19 +298,25 @@ def decode_level(data: bytes, format_name: str, width: int, height: int) -> np.n
     8/16 bytes, matching the reference's upload stride computation
     (src/wgpu.zig:367-413: bytesPerRow = ceil(w/4)*blockSize).
     """
+    from tpurast.assets import native
+
+    use_native = native.available()
     bx = max(1, (width + 3) // 4)
     by = max(1, (height + 3) // 4)
     raw = np.frombuffer(data, dtype=np.uint8)
     if format_name == "bc7":
         blocks = raw.reshape(by * bx, 16)
-        return assemble_blocks(decode_bc7(blocks), bx, by, width, height)
+        dec = native.decode_bc7 if use_native else decode_bc7
+        return assemble_blocks(dec(blocks), bx, by, width, height)
     if format_name == "bc4u":
         blocks = raw.reshape(by * bx, 8)
-        return assemble_blocks(decode_bc4(blocks), bx, by, width, height)
+        dec = native.decode_bc4 if use_native else decode_bc4
+        return assemble_blocks(dec(blocks), bx, by, width, height)
     if format_name in ("bc6h_uf", "bc6h_sf"):
         blocks = raw.reshape(by * bx, 16)
+        dec = native.decode_bc6h if use_native else decode_bc6h
         return assemble_blocks(
-            decode_bc6h(blocks, signed=format_name == "bc6h_sf"), bx, by, width, height
+            dec(blocks, signed=format_name == "bc6h_sf"), bx, by, width, height
         )
     raise ValueError(f"unknown block format {format_name}")
 
