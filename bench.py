@@ -33,6 +33,12 @@ def main() -> int:
     ap.add_argument("--data-dir", default="/root/reference/data")
     ap.add_argument("--tile-h", type=int, default=None)
     ap.add_argument("--tile-w", type=int, default=None)
+    ap.add_argument(
+        "--scene",
+        default="demo",
+        choices=["demo", "dragons64"],
+        help="demo = reference Engine.init scene; dragons64 = BASELINE config #4",
+    )
     ap.add_argument("--save", default=None, help="save last frame PNG here")
     args = ap.parse_args()
 
@@ -44,7 +50,12 @@ def main() -> int:
     from tpurast.present import Presenter
     from tpurast.renderer import Renderer
 
-    scene = load_demo_scene(args.data_dir)
+    if args.scene == "dragons64":
+        from tpurast.device.scene import load_instanced_dragons
+
+        scene = load_instanced_dragons(args.data_dir, 64)
+    else:
+        scene = load_demo_scene(args.data_dir)
     overrides = {}
     if args.tile_h:
         overrides["tile_h"] = args.tile_h
@@ -116,7 +127,7 @@ def main() -> int:
 
     baseline_fps = 1000.0 / 1.33230  # reference overlay frametime
     result = {
-        "metric": f"fps_{args.width}x{args.height}_demo_scene",
+        "metric": f"fps_{args.width}x{args.height}_{args.scene}_scene",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / baseline_fps, 4),

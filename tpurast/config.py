@@ -62,7 +62,7 @@ class RendererConfig:
     # Extra raster work segments beyond one-per-tile (covers tiles whose
     # bins exceed 128 triangles). Each segment is a (tile, 128-triangle
     # chunk) grid step; see kernels/raster.py.
-    segment_headroom: int = 2048
+    segment_headroom: int = 8192
 
     # Texture sampling: trilinear by default (the reference requests
     # anisotropy 16 (src/Renderer.zig:515) but the baseline configs only

@@ -164,6 +164,54 @@ def build_scene(
     )
 
 
+def replicate_model(model: GltfModel, transforms: list[np.ndarray]) -> GltfModel:
+    """Instancing: one draw record per instance transform.
+
+    The reference always draws instanceCount=1 (src/Renderer.zig:1069);
+    BASELINE config #4 (dragon x64) extends this. Instances share the
+    source arrays (no vertex copy on host); the flat scene build emits a
+    primitive record per instance, so the batched vertex transform treats
+    instances like any other primitive — the TPU-native equivalent of
+    per-instance transforms.
+    """
+    from tpurast import math3d
+
+    draws = []
+    for t in transforms:
+        for d in model.draws:
+            draws.append(
+                dataclasses.replace(
+                    d,
+                    model_matrix=math3d.compose(d.model_matrix, t),
+                    normal_matrix=math3d.normal_matrix(
+                        math3d.compose(d.model_matrix, t)
+                    ),
+                )
+            )
+    return GltfModel(draws=draws, image_uris=model.image_uris)
+
+
+def load_instanced_dragons(data_dir: str, count: int = 64, spacing: float = 0.35) -> DeviceScene:
+    """BASELINE config #4 scene: dragon x N in a grid (default 8x8)."""
+    from tpurast import math3d
+
+    up = math3d.WORLD_SPACE.up.vector()
+    dragon = load_glb(
+        os.path.join(data_dir, "meshes/stanford_dragon.glb"),
+        post_transform=math3d.translation(up * -1.0),
+    )
+    side = int(np.ceil(np.sqrt(count)))
+    transforms = []
+    for i in range(count):
+        gx, gz = i % side, i // side
+        offs = np.array(
+            [(gx - (side - 1) / 2) * spacing, 0.0, (gz - (side - 1) / 2) * spacing],
+            dtype=np.float32,
+        )
+        transforms.append(math3d.translation(offs))
+    return build_scene([replicate_model(dragon, transforms)], data_dir=data_dir)
+
+
 def load_demo_scene(data_dir: str, include_porsche: bool = True) -> DeviceScene:
     """The reference's 4-model demo scene (src/Engine.zig:110-141).
 

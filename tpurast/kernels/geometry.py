@@ -21,9 +21,21 @@ FrontFace=CCW + back cull, src/Renderer.zig:409-413).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-SETUP_WIDTH = 16  # [E(9), z_clip(3), w_clip(3), pad]
+# Per-face setup row: [E(9), z_clip(3), w_clip(3), face_id, anchor_x,
+# anchor_y, pad...]. Edge functions are ANCHORED: e_i(p) = a_i*(px - X0)
+# + b_i*(py - Y0) + c_i with (X0, Y0) a per-face screen anchor. The
+# adjugate is computed from anchor-translated homogeneous coords, so its
+# magnitudes scale with the triangle's local extent instead of its
+# absolute screen position — without this, f32 cancellation in the cross
+# products sprays phantom coverage off sub-pixel triangles (the
+# fixed-point-edge-function problem, SURVEY §7 hard-part #1).
+SETUP_WIDTH = 24
+FIELD_FACE_ID = 15
+FIELD_ANCHOR_X = 16
+FIELD_ANCHOR_Y = 17
 
 
 def transform_vertices(positions, normals, vert_prim, models, normal_mats, view_proj):
@@ -60,9 +72,25 @@ def triangle_setup(clip, faces, n_faces, width, height):
     w = c[..., 3]
     vx = (c[..., 0] + w) * (width * 0.5)
     vy = (w - c[..., 1]) * (height * 0.5)
-    v = jnp.stack([vx, vy, w], axis=-1)  # (F, 3, 3) viewport-homogeneous
 
-    # Adjugate rows: e_i = cross(v_{i+1}, v_{i+2}).
+    # Per-face screen anchor: the first w-positive vertex's pixel position
+    # (rounded). Translating the homogeneous coords by the anchor keeps
+    # the adjugate's magnitudes proportional to the triangle's local
+    # extent — crucial for f32 coverage precision on small triangles.
+    eps = jnp.float32(1e-20)
+    w_ok = w > eps
+    sx = jnp.where(w_ok, vx / jnp.where(w_ok, w, 1.0), 0.0)
+    sy = jnp.where(w_ok, vy / jnp.where(w_ok, w, 1.0), 0.0)
+    first_ok = jnp.argmax(w_ok, axis=-1)  # 0 if none
+    ax = jnp.round(jnp.take_along_axis(sx, first_ok[:, None], axis=1)[:, 0])
+    ay = jnp.round(jnp.take_along_axis(sy, first_ok[:, None], axis=1)[:, 0])
+    any_ok = jnp.any(w_ok, axis=-1)
+    ax = jnp.where(any_ok, jnp.clip(ax, -4 * width, 5 * width), 0.0)
+    ay = jnp.where(any_ok, jnp.clip(ay, -4 * height, 5 * height), 0.0)
+
+    v = jnp.stack([vx - ax[:, None] * w, vy - ay[:, None] * w, w], axis=-1)
+
+    # Adjugate rows: e_i = cross(v_{i+1}, v_{i+2}) in the anchored frame.
     e0 = jnp.cross(v[:, 1], v[:, 2])
     e1 = jnp.cross(v[:, 2], v[:, 0])
     e2 = jnp.cross(v[:, 0], v[:, 1])
@@ -72,15 +100,14 @@ def triangle_setup(clip, faces, n_faces, width, height):
     in_range = face_ids < n_faces
     finite = jnp.all(jnp.isfinite(c.reshape(c.shape[0], -1)), axis=-1)
     front = det < 0.0  # CCW front under y-down framebuffer coords
-    valid = in_range & finite & front
+    # Faces entirely behind the eye plane are invisible; without this
+    # cull each one conservatively bins into EVERY tile (full-screen
+    # AABB) — a camera inside the scene then explodes the pair count.
+    valid = in_range & finite & front & any_ok
 
     # Screen AABB. Vertices behind/at the eye plane (w <= eps) make the
     # projected extent unbounded -> conservatively bin to the full screen.
-    eps = jnp.float32(1e-20)
-    w_ok = w > eps
     any_behind = ~jnp.all(w_ok, axis=-1)
-    sx = jnp.where(w_ok, vx / jnp.where(w_ok, w, 1.0), 0.0)
-    sy = jnp.where(w_ok, vy / jnp.where(w_ok, w, 1.0), 0.0)
     big = jnp.float32(1e9)
     minx = jnp.where(any_behind, 0.0, jnp.min(jnp.where(w_ok, sx, big), axis=-1))
     miny = jnp.where(any_behind, 0.0, jnp.min(jnp.where(w_ok, sy, big), axis=-1))
@@ -104,6 +131,9 @@ def triangle_setup(clip, faces, n_faces, width, height):
             # raster kernel's later-wins tie-break can max over this
             # field directly and emit face ids without a slot->id pass.
             face_ids.astype(jnp.float32)[:, None],
+            ax[:, None],  # field 16: anchor x
+            ay[:, None],  # field 17: anchor y
+            jnp.zeros((faces.shape[0], SETUP_WIDTH - 18), dtype=jnp.float32),
         ],
         axis=-1,
     ).astype(jnp.float32)
@@ -118,22 +148,26 @@ def bin_triangles(
     tile_w,
     tile_h,
     capacity,
-    tiles_per_face: int = 64,
-    huge_budget: int = 256,
+    tiles_per_face: int = 8,
+    huge_budget: int = 8,
+    face_chunk: int = 8192,
 ):
-    """Tiled binning: rank-by-cumsum + sparse pair scatter.
+    """Tiled binning: chunked rank-by-cumsum + sparse pair scatter.
 
-    XLA:TPU scatter cost is proportional to *attempted* updates, so the
-    naive dense (T, F) masked scatter is ~50x slower than needed. Instead:
+    Draw-order ranks come from a dense (T, chunk) overlap mask + cumsum —
+    scatter-free and VPU-bound — processed over face chunks inside a
+    lax.scan so memory and index ranges stay bounded for large scenes
+    (64x-instanced at 4K is T*F ~ 5e9: far beyond int32 and HBM as one
+    matrix). Pairs are then written with ONE sparse scatter per chunk
+    (XLA:TPU scatter cost is proportional to attempted updates; the dense
+    masked scatter was ~50x slower).
 
-      1. A (T, F) overlap mask gives per-tile counts and, via cumsum, each
-         face's draw-order rank within each tile (cheap: VPU-bound).
-      2. "Small" faces (AABB spanning <= tiles_per_face tiles) enumerate
-         their (face, tile) pairs explicitly — F x tiles_per_face
-         candidates — and one sparse scatter writes them at their ranks.
-      3. "Huge" faces (near-plane spanning, close-up geometry) are rare;
-         up to huge_budget of them are compacted and scattered against
-         all T tiles. Excess huge faces are dropped and counted.
+    Per chunk:
+      * "small" faces (AABB spanning <= tiles_per_face tiles) enumerate
+        their (face, tile) pairs explicitly and scatter at rank slots;
+      * "huge" faces (near-plane spanning / close-up geometry, rare) are
+        compacted up to huge_budget per chunk and scattered against every
+        tile they overlap. Excess huge faces are dropped and counted.
 
     Returns (tile_ids (T, K) int32 face ids in draw order, tile_counts
     (T,) int32 clamped to K, overflow (T,) int32 dropped count).
@@ -148,60 +182,100 @@ def bin_triangles(
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
     span = jnp.where(valid, span_x * span_y, 0)
-
-    # -- rank/count matrix (dense but scatter-free) -----------------------
-    tile_col = (jnp.arange(t, dtype=jnp.int32) % tiles_x)[:, None]  # (T, 1)
-    tile_row = (jnp.arange(t, dtype=jnp.int32) // tiles_x)[:, None]
-    mask = (
-        valid[None, :]
-        & (tile_col >= tx0[None, :])
-        & (tile_col <= tx1[None, :])
-        & (tile_row >= ty0[None, :])
-        & (tile_row <= ty1[None, :])
-    )  # (T, F)
-    counts_full = jnp.sum(mask, axis=1, dtype=jnp.int32)
-    rank = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1  # (T, F)
-
     face_ids = jnp.arange(f, dtype=jnp.int32)
     small = valid & (span <= tiles_per_face)
     huge = valid & (span > tiles_per_face)
 
-    # -- small faces: explicit pair enumeration ---------------------------
-    j = jnp.arange(tiles_per_face, dtype=jnp.int32)[None, :]  # (1, TPF)
-    jx = j % jnp.maximum(span_x, 1)[:, None]
-    jy = j // jnp.maximum(span_x, 1)[:, None]
-    pair_tile = (ty0[:, None] + jy) * tiles_x + (tx0[:, None] + jx)  # (F, TPF)
-    pair_ok = small[:, None] & (j < span[:, None])
-    pair_rank = rank.reshape(-1)[
-        jnp.where(pair_ok, pair_tile * f + face_ids[:, None], 0)
-    ]
-    dest = jnp.where(
-        pair_ok & (pair_rank < k), pair_tile * k + pair_rank, t * k
-    )
-    tile_ids_flat = (
-        jnp.zeros(t * k, dtype=jnp.int32)
-        .at[dest.reshape(-1)]
-        .set(jnp.broadcast_to(face_ids[:, None], dest.shape).reshape(-1), mode="drop")
-    )
+    cf = min(face_chunk, f)
+    f_pad = -(-f // cf) * cf
+    n_chunks = f_pad // cf
 
-    # -- huge faces: compact up to huge_budget, scatter against all tiles -
-    n_huge = jnp.sum(huge, dtype=jnp.int32)
-    hslot = jnp.cumsum(huge, dtype=jnp.int32) - 1
-    hdest = jnp.where(huge & (hslot < huge_budget), hslot, huge_budget)
-    huge_ids = (
-        jnp.zeros(huge_budget + 1, dtype=jnp.int32).at[hdest].set(face_ids, mode="promise_in_bounds")
-    )[:huge_budget]
-    huge_active = jnp.arange(huge_budget) < jnp.minimum(n_huge, huge_budget)
-    h_tile = jnp.arange(t, dtype=jnp.int32)[:, None]  # (T, 1)
-    h_mask = mask.T[huge_ids].T & huge_active[None, :]  # (T, HB) overlap
-    h_rank = rank.T[huge_ids].T  # (T, HB)
-    h_dest = jnp.where(
-        h_mask & (h_rank < k), h_tile * k + h_rank, t * k
+    def pad(x, fill=0):
+        return jnp.pad(x, (0, f_pad - f), constant_values=fill).reshape(n_chunks, cf)
+
+    xs = {
+        "tx0": pad(tx0),
+        "ty0": pad(ty0),
+        "tx1": pad(tx1, -1),
+        "ty1": pad(ty1, -1),
+        "span_x": pad(span_x),
+        "span": pad(span),
+        "small": pad(small.astype(jnp.int32)),
+        "huge": pad(huge.astype(jnp.int32)),
+        "fid": pad(face_ids),
+    }
+    tile_col = (jnp.arange(t, dtype=jnp.int32) % tiles_x)[:, None]  # (T, 1)
+    tile_row = (jnp.arange(t, dtype=jnp.int32) // tiles_x)[:, None]
+    j = jnp.arange(tiles_per_face, dtype=jnp.int32)[None, :]  # (1, TPF)
+
+    def chunk_step(carry, x):
+        tile_ids_flat, base, huge_dropped = carry
+        maskc = (
+            (x["small"] + x["huge"] > 0)[None, :]
+            & (tile_col >= x["tx0"][None, :])
+            & (tile_col <= x["tx1"][None, :])
+            & (tile_row >= x["ty0"][None, :])
+            & (tile_row <= x["ty1"][None, :])
+        )  # (T, CF)
+        counts_c = jnp.sum(maskc, axis=1, dtype=jnp.int32)
+        rank = jnp.cumsum(maskc, axis=1, dtype=jnp.int32) - 1 + base[:, None]
+
+        # Small-face pairs.
+        jx = j % jnp.maximum(x["span_x"], 1)[:, None]
+        jy = j // jnp.maximum(x["span_x"], 1)[:, None]
+        pair_tile = (x["ty0"][:, None] + jy) * tiles_x + (x["tx0"][:, None] + jx)
+        lid = jnp.arange(cf, dtype=jnp.int32)
+        pair_ok = (x["small"] > 0)[:, None] & (j < x["span"][:, None])
+        pair_rank = rank.reshape(-1)[
+            jnp.where(pair_ok, pair_tile * cf + lid[:, None], 0)
+        ]
+        dest = jnp.where(pair_ok & (pair_rank < k), pair_tile * k + pair_rank, t * k)
+        tile_ids_flat = tile_ids_flat.at[dest.reshape(-1)].set(
+            jnp.broadcast_to(x["fid"][:, None], dest.shape).reshape(-1), mode="drop"
+        )
+
+        # Huge faces of this chunk: compact up to the local budget, then
+        # enumerate each one's own tile range (up to every tile — the
+        # camera-inside-geometry / near-plane-crossing case).
+        hugec = x["huge"] > 0
+        n_huge = jnp.sum(hugec, dtype=jnp.int32)
+        hslot = jnp.cumsum(hugec, dtype=jnp.int32) - 1
+        hdest = jnp.where(hugec & (hslot < huge_budget), hslot, huge_budget)
+        hcol = (
+            jnp.zeros(huge_budget + 1, dtype=jnp.int32)
+            .at[hdest]
+            .set(lid, mode="promise_in_bounds")
+        )[:huge_budget]
+        h_active = (jnp.arange(huge_budget) < jnp.minimum(n_huge, huge_budget))[:, None]
+        h_span_x = jnp.maximum(x["span_x"][hcol], 1)[:, None]
+        h_span = x["span"][hcol][:, None]
+        jh = jnp.arange(t, dtype=jnp.int32)[None, :]  # (1, T) worst case
+        hx = jh % h_span_x
+        hy = jh // h_span_x
+        h_tile = (x["ty0"][hcol][:, None] + hy) * tiles_x + x["tx0"][hcol][:, None] + hx
+        h_ok = h_active & (jh < h_span)  # (HB, T)
+        h_rank = rank.reshape(-1)[
+            jnp.where(h_ok, h_tile * cf + hcol[:, None], 0)
+        ]
+        h_dest = jnp.where(h_ok & (h_rank < k), h_tile * k + h_rank, t * k)
+        tile_ids_flat = tile_ids_flat.at[h_dest.reshape(-1)].set(
+            jnp.broadcast_to(x["fid"][hcol][:, None], h_dest.shape).reshape(-1),
+            mode="drop",
+        )
+
+        return (
+            tile_ids_flat,
+            base + counts_c,
+            huge_dropped + jnp.maximum(n_huge - huge_budget, 0),
+        ), None
+
+    init = (
+        jnp.zeros(t * k, dtype=jnp.int32),
+        jnp.zeros(t, dtype=jnp.int32),
+        jnp.int32(0),
     )
-    tile_ids_flat = tile_ids_flat.at[h_dest.reshape(-1)].set(
-        jnp.broadcast_to(huge_ids[None, :], h_dest.shape).reshape(-1), mode="drop"
-    )
+    (tile_ids_flat, counts_full, huge_dropped), _ = jax.lax.scan(chunk_step, init, xs)
 
     counts = jnp.minimum(counts_full, k)
-    overflow = (counts_full - counts) + jnp.maximum(n_huge - huge_budget, 0)
+    overflow = (counts_full - counts) + huge_dropped
     return tile_ids_flat.reshape(t, k), counts, overflow

@@ -45,8 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 from tpurast import kernels as _k
 
 CHUNK = 128  # triangles per segment == lane width
-SETUP_WIDTH = 16
-FACE_FIELD = 15  # setup row holding the face id (see geometry.triangle_setup)
+
+from tpurast.kernels.geometry import (  # noqa: E402
+    FIELD_ANCHOR_X,
+    FIELD_ANCHOR_Y,
+    FIELD_FACE_ID,
+    SETUP_WIDTH,
+)
 
 
 def _edge_covered(e, a, b):
@@ -62,7 +67,7 @@ def _raster_kernel(
     counts_ref,  # SMEM (T,) int32 — per-tile bin sizes
     seg_tile_ref,  # SMEM (G,) int32 — segment -> tile
     seg_block_ref,  # SMEM (G,) int32 — segment -> chunk index within tile
-    setup_ref,  # VMEM (16, 128) f32 — this segment's lane-major setup
+    setup_ref,  # VMEM (SETUP_WIDTH, 128) f32 — this segment's lane-major setup
     depth_ref,  # VMEM (1, 1, N) f32 out (revisited across segments)
     fid_ref,  # VMEM (1, 1, N) f32 out — winning face id, -1 = none
     *,
@@ -94,20 +99,30 @@ def _raster_kernel(
         def f(i):  # per-triangle field as a (1, C) lane row
             return setup_ref[i : i + 1, :]
 
-        e0 = px * f(0) + py * f(1) + f(2)  # (N, C)
-        e1 = px * f(3) + py * f(4) + f(5)
-        e2 = px * f(6) + py * f(7) + f(8)
+        # Anchored evaluation: coordinates relative to the per-face
+        # anchor keep products small (f32 precision for tiny triangles).
+        pxr = px - f(FIELD_ANCHOR_X)  # (N, C)
+        pyr = py - f(FIELD_ANCHOR_Y)
+        e0 = pxr * f(0) + pyr * f(1) + f(2)  # (N, C)
+        e1 = pxr * f(3) + pyr * f(4) + f(5)
+        e2 = pxr * f(6) + pyr * f(7) + f(8)
 
         # Two sign regions: all-negative is the ordinary interior; the
         # all-positive region only exists for triangles crossing w=0
-        # (external triangles, their far sheet).
+        # (external triangles, their far sheet). The positive test is
+        # GATED on an actual w-crossing — for ordinary triangles the
+        # region is analytically empty but float noise on sub-pixel
+        # triangles can make all three e's positive, spraying phantom
+        # dust across the screen.
+        crossing = (f(12) <= 0.0) | (f(13) <= 0.0) | (f(14) <= 0.0)  # (1, C)
         cov_n = (
             _edge_covered(e0, f(0), f(1))
             & _edge_covered(e1, f(3), f(4))
             & _edge_covered(e2, f(6), f(7))
         )
         cov_p = (
-            _edge_covered(-e0, -f(0), -f(1))
+            crossing
+            & _edge_covered(-e0, -f(0), -f(1))
             & _edge_covered(-e1, -f(3), -f(4))
             & _edge_covered(-e2, -f(6), -f(7))
         )
@@ -128,7 +143,7 @@ def _raster_kernel(
         z_best = jnp.max(z_masked, axis=1, keepdims=True)  # (N, 1)
         # Later draw wins depth ties (GreaterEqual): face ids are in draw
         # order within the bin, so max face id among the best-z lanes.
-        cand = jnp.where(covered & (z_masked == z_best), f(FACE_FIELD), -1.0)
+        cand = jnp.where(covered & (z_masked == z_best), f(FIELD_FACE_ID), -1.0)
         fid_best = jnp.max(cand, axis=1, keepdims=True)  # (N, 1)
 
         z_row = z_best.reshape(1, n)
@@ -141,32 +156,42 @@ def _raster_kernel(
 def build_segments(tile_counts, n_segments: int, max_blocks_per_tile: int):
     """Segment tables from bin counts (on device).
 
-    Every tile gets at least one segment (it must clear its output block);
-    tiles with count > CHUNK get ceil(count/CHUNK) consecutive segments.
-    Tail entries beyond the real total point at (tile 0, block 0) — the
-    kernel re-rasterizes that block idempotently. If n_segments is too
-    small for the scene, excess segments are dropped and reported.
+    Segments [0, T) are RESERVED: segment t is (tile t, block 0), so every
+    tile unconditionally clears+rasterizes its first chunk — a tile whose
+    output block is never visited would expose uninitialized memory.
+    Extra blocks (dense tiles) are allocated from the remaining headroom
+    by cumsum; ones that don't fit are dropped and counted (missing
+    triangles, never garbage). Tail slots use a no-op sentinel block
+    index (>= max_blocks: no init, no work).
 
     Returns (seg_tile (G,), seg_block (G,), n_dropped scalar).
     """
     t = tile_counts.shape[0]
-    nb = jnp.maximum(-(-tile_counts // CHUNK), 1)  # >= 1 per tile
-    start = jnp.cumsum(nb) - nb  # (T,)
-    total = start[-1] + nb[-1]
-    j = jnp.arange(max_blocks_per_tile, dtype=jnp.int32)[None, :]  # (1, B)
-    ok = j < nb[:, None]
-    dest = jnp.where(ok, start[:, None] + j, n_segments)
-    tiles = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[:, None], dest.shape)
-    seg_tile = (
-        jnp.zeros(n_segments, dtype=jnp.int32)
-        .at[dest.reshape(-1)]
-        .set(tiles.reshape(-1), mode="drop")
+    assert n_segments >= t
+    extra = jnp.maximum(-(-tile_counts // CHUNK) - 1, 0)  # blocks beyond 0
+    start = t + jnp.cumsum(extra) - extra  # (T,) first extra slot per tile
+    total = t + jnp.sum(extra)
+
+    # Tile and block are packed into one value so the table builds with a
+    # single scatter (two same-index scatters get fused into a variadic
+    # scatter that crashes the XLA:TPU scatter emitter).
+    nb_pack = jnp.int32(max_blocks_per_tile + 1)
+    sentinel_block = jnp.int32(max_blocks_per_tile)  # no init, no work
+    packed = jnp.full(n_segments, sentinel_block, dtype=jnp.int32)  # tile 0
+
+    # Reserved per-tile block-0 segments.
+    tidx = jnp.arange(t, dtype=jnp.int32)
+    packed = packed.at[tidx].set(tidx * nb_pack)
+
+    # Extra blocks j >= 1 for dense tiles.
+    jb = jnp.arange(1, max_blocks_per_tile, dtype=jnp.int32)[None, :]  # (1, B-1)
+    ok = jb <= extra[:, None]
+    dest = jnp.where(ok, start[:, None] + (jb - 1), n_segments)
+    packed = packed.at[dest.reshape(-1)].set(
+        (tidx[:, None] * nb_pack + jb).reshape(-1), mode="drop"
     )
-    seg_block = (
-        jnp.zeros(n_segments, dtype=jnp.int32)
-        .at[dest.reshape(-1)]
-        .set(jnp.broadcast_to(j, dest.shape).reshape(-1), mode="drop")
-    )
+    seg_tile = packed // nb_pack
+    seg_block = packed % nb_pack
     return seg_tile, seg_block, jnp.maximum(total - n_segments, 0)
 
 
@@ -176,7 +201,7 @@ def build_segments(tile_counts, n_segments: int, max_blocks_per_tile: int):
 )
 def rasterize_visibility(
     tile_counts,  # (T,) int32
-    setup,  # (F, 16) f32 triangle setup (field 15 = face id)
+    setup,  # (F, SETUP_WIDTH) f32 triangle setup (see geometry.SETUP_WIDTH)
     tile_ids,  # (T, K) int32 binned face ids
     *,
     tile_h: int,

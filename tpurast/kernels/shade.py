@@ -30,11 +30,16 @@ import jax
 import jax.numpy as jnp
 
 # Fat-row layout for the per-face shading table (see pack_shade_rows):
-# [setup(16) | world(9) | normal(9) | uv(6) | tex-info(49, int32 bitcast)]
+# [setup(24) | world(9) | normal(9) | uv(6) | tex-info(49, int32 bitcast)]
 # The texture info (per-mip atlas offset/width/height + mip count) is
 # joined per FACE at pack time — one per-pixel gather fetches everything.
-ROW_TEXINFO = 40
-SHADE_ROW_WIDTH = 96
+from tpurast.kernels.geometry import SETUP_WIDTH as _SETUP_WIDTH
+
+ROW_WORLD = _SETUP_WIDTH            # 24..32
+ROW_NORMAL = _SETUP_WIDTH + 9       # 33..41
+ROW_UV = _SETUP_WIDTH + 18          # 42..47
+ROW_TEXINFO = _SETUP_WIDTH + 24     # 48..96
+SHADE_ROW_WIDTH = 104
 
 # Texture-info row layout (int32): per-mip offset/width/height + mip count.
 TEX_ROW_WIDTH = 49  # [offsets(16) | widths(16) | heights(16) | n_mips]
@@ -133,9 +138,9 @@ def shade_deferred(
     mask = fid >= 0
     f = jnp.maximum(fid, 0)
 
-    rows = shade_rows[f]  # (H, W, 48) — THE gather
-    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
-    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    rows = shade_rows[f]  # (H, W, SHADE_ROW_WIDTH) — THE gather
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5 - rows[..., 16]  # anchored
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 - rows[..., 17]
     e0 = rows[..., 0] * px + rows[..., 1] * py + rows[..., 2]
     e1 = rows[..., 3] * px + rows[..., 4] * py + rows[..., 5]
     e2 = rows[..., 6] * px + rows[..., 7] * py + rows[..., 8]
@@ -155,10 +160,10 @@ def shade_deferred(
             axis=-1,
         )
 
-    world = interp3(16)
-    normal = interp3(25)
-    uv_u = u0 * rows[..., 34] + u1 * rows[..., 36] + u2 * rows[..., 38]
-    uv_v = u0 * rows[..., 35] + u1 * rows[..., 37] + u2 * rows[..., 39]
+    world = interp3(ROW_WORLD)
+    normal = interp3(ROW_NORMAL)
+    uv_u = u0 * rows[..., ROW_UV] + u1 * rows[..., ROW_UV + 2] + u2 * rows[..., ROW_UV + 4]
+    uv_v = u0 * rows[..., ROW_UV + 1] + u1 * rows[..., ROW_UV + 3] + u2 * rows[..., ROW_UV + 5]
 
     # Analytic UV screen derivatives: uv = N(p)/D(p), N and D linear in p.
     a0, a1, a2 = rows[..., 0], rows[..., 3], rows[..., 6]
@@ -173,8 +178,8 @@ def shade_deferred(
         ny = b0 * c0 + b1 * c1 + b2 * c2
         return (nx * esum - n * d_x) * inv2, (ny * esum - n * d_y) * inv2
 
-    du_dx, du_dy = duv(rows[..., 34], rows[..., 36], rows[..., 38])
-    dv_dx, dv_dy = duv(rows[..., 35], rows[..., 37], rows[..., 39])
+    du_dx, du_dy = duv(rows[..., ROW_UV], rows[..., ROW_UV + 2], rows[..., ROW_UV + 4])
+    dv_dx, dv_dy = duv(rows[..., ROW_UV + 1], rows[..., ROW_UV + 3], rows[..., ROW_UV + 5])
 
     # --- texture sampling -------------------------------------------------
     trow = jax.lax.bitcast_convert_type(

@@ -27,11 +27,12 @@ from tpurast.kernels import geometry, present, raster, shade
 
 
 def _shift_setup_rows(setup, dy):
-    """Shift edge functions to slab-local pixel rows: c_i += b_i * dy."""
-    b = setup[:, jnp.array([1, 4, 7])]
-    delta = jnp.zeros_like(setup)
-    delta = delta.at[:, jnp.array([2, 5, 8])].set(b * dy)
-    return setup + delta
+    """Shift edge functions to slab-local pixel rows by moving each
+    face's evaluation anchor: Y0' = Y0 - dy (kernels/geometry.py anchored
+    edge functions)."""
+    from tpurast.kernels.geometry import FIELD_ANCHOR_Y
+
+    return setup.at[:, FIELD_ANCHOR_Y].add(-dy)
 
 
 def render_frame_sharded(
@@ -165,7 +166,10 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
             tiles_x=tiles_x,
             tiles_y_per_device=tiles_y // n_dev,
             bin_capacity=cap,
-            segment_headroom=config.segment_headroom,
+            segment_headroom=min(
+                config.segment_headroom,
+                max(1024, int(scene_dev["faces"].shape[0]) // 8),
+            ),
             clear_depth=config.clear_depth,
             clear_color=config.clear_color,
             light_direction=config.light_direction,

@@ -159,7 +159,9 @@ class Renderer:
         # counter. TODO(perf): replace the padded per-tile gather with
         # count-prefixed segment lists (O(total pairs) memory).
         if cfg.bin_capacity is None:
-            budget = max(2048, 4_000_000 // max(1, self.tiles_x * self.tiles_y))
+            # ~48M bin slots = 192 MB of tile_ids; the segment-scheduled
+            # raster only gathers/reads real pairs, so capacity is cheap.
+            budget = max(2048, 48_000_000 // max(1, self.tiles_x * self.tiles_y))
             cap = min(self.scene_host.faces.shape[0], budget)
         else:
             cap = cfg.bin_capacity
@@ -183,7 +185,13 @@ class Renderer:
                 tiles_x=self.tiles_x,
                 tiles_y=self.tiles_y,
                 bin_capacity=self.bin_capacity,
-                segment_headroom=cfg.segment_headroom,
+                # Tail segments are cheap but not free: cap headroom by
+                # what the scene could possibly need (~faces/8 extra
+                # 128-triangle chunks is generous for real scenes).
+                segment_headroom=min(
+                    cfg.segment_headroom,
+                    max(1024, self.scene_host.faces.shape[0] // 8),
+                ),
                 clear_depth=cfg.clear_depth,
                 clear_color=cfg.clear_color,
                 light_direction=cfg.light_direction,
