@@ -36,7 +36,7 @@ def main() -> int:
     ap.add_argument(
         "--scene",
         default="demo",
-        choices=["demo", "dragons64"],
+        choices=["demo", "dragons64", "hdr"],
         help="demo = reference Engine.init scene; dragons64 = BASELINE config #4",
     )
     ap.add_argument("--save", default=None, help="save last frame PNG here")
@@ -54,6 +54,10 @@ def main() -> int:
         from tpurast.device.scene import load_instanced_dragons
 
         scene = load_instanced_dragons(args.data_dir, 64)
+    elif args.scene == "hdr":
+        from tpurast.device.scene import load_hdr_scene
+
+        scene = load_hdr_scene(args.data_dir)
     else:
         scene = load_demo_scene(args.data_dir)
     overrides = {}

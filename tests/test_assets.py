@@ -246,3 +246,31 @@ def test_decode_level_native_fallback_equivalence(data_dir, monkeypatch):
     monkeypatch.setattr(native, "_tried", True)
     b = bcdec.decode_level(t.levels[2].data, t.format_name, 128, 128)
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# KTX2 writer + BC4 encoder (generated assets)
+# ---------------------------------------------------------------------------
+
+
+def test_ktx2_write_bc4_roundtrip():
+    from tpurast.assets.ktx2_write import make_bc4_ktx2
+
+    y, x = np.mgrid[0:64, 0:64]
+    checker = (((x // 4 + y // 4) % 2) * 255).astype(np.uint8)
+    blob = make_bc4_ktx2(checker)
+    t = ktx2.parse_ktx2(blob)
+    assert t.vk_format == ktx2.VK_FORMAT_BC4_UNORM_BLOCK
+    assert t.level_count == 7 and t.supercompression == ktx2.SUPERCOMPRESSION_ZSTD
+    dec = bcdec.decode_level(t.levels[0].data, t.format_name, 64, 64)
+    np.testing.assert_array_equal(dec, checker)  # 2-level content is exact
+
+
+def test_bc4_encode_matches_pillow_decode():
+    from tpurast.assets.ktx2_write import encode_bc4
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    blocks = encode_bc4(img)
+    ref = np.asarray(Image.frombytes("L", (32, 32), blocks, "bcn", (4, "")))
+    assert np.abs(ref.astype(int) - img.astype(int)).max() <= 24  # BC4 quantization

@@ -105,3 +105,35 @@ def test_specular_highlight_present(demo_scene):
     cam = Camera.from_target([0.0, 1.0, -1.2], [0, 1.2, 0])  # look at crate
     out = r.render_to_host(cam).astype(np.float32)
     assert out[..., :3].max() > 60  # highlights clearly above base albedo
+
+
+def test_hdr_scene_renders(data_dir):
+    # BASELINE config #3: BC6H HDR base color + generated BC4u monochrome
+    # map, full mip chain trilinear.
+    from tpurast.device.scene import load_hdr_scene
+
+    scene = load_hdr_scene(str(data_dir))
+    assert "textures/hdr_bc6u.ktx2" in scene.texture_uris
+    assert "mem://bc4_stripes.ktx2" in scene.texture_uris
+    r = Renderer(scene, RendererConfig(width=128, height=96, segment_headroom=64),
+                 output="linear_f32")
+    cam = Camera.from_target([0.6, 0.4, -2.0], [0.3, 1.5, 0.0])
+    res = r.render(cam)
+    lin = np.asarray(res["color"])
+    assert int(res["bin_overflow"]) == 0
+    # True HDR radiance survives to the linear framebuffer (>1.0).
+    assert lin[..., :3].max() > 10.0
+    covered = (lin[..., :3] != np.asarray([1.0, 0.0, 1.0], np.float32)).any(-1)
+    assert covered.mean() > 0.4  # floor + two crates
+
+
+def test_instanced_dragons_scene(data_dir):
+    from tpurast.device.scene import load_instanced_dragons
+
+    scene = load_instanced_dragons(str(data_dir), 4)
+    assert scene.n_faces == 4 * 19332
+    r = Renderer(scene, RendererConfig(width=128, height=96, segment_headroom=1024))
+    cam = Camera.from_target([0.0, 0.5, -1.0], [0.0, 0.95, 0.0])
+    out = r.render_to_host(cam)
+    covered = (out[..., :3] != MAGENTA).any(-1)
+    assert covered.sum() > 50

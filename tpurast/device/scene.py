@@ -85,14 +85,18 @@ def build_scene(
     data_dir: str | os.PathLike | None = None,
     face_pad: int = 256,
     vert_pad: int = 128,
+    memory_assets: dict[str, bytes] | None = None,
 ) -> DeviceScene:
     """Assemble parsed models into flat device buffers + texture atlas.
 
     ``data_dir`` resolves image URIs (the reference resolves them against
     its data dir and caches by URI, src/Renderer.zig:689-699); missing
     files bind the fallback texture (texture id 0), mirroring
-    src/Renderer.zig:724-746.
+    src/Renderer.zig:724-746. ``memory_assets`` maps ``mem://`` URIs to
+    KTX2 blobs (generated fixtures, e.g. BC4 monochrome maps).
     """
+    from tpurast.assets.ktx2 import parse_ktx2
+
     draws: list[PrimitiveDraw] = [d for m in models for d in m.draws]
 
     # Texture registry: id 0 is the fallback; others keyed by URI.
@@ -105,6 +109,13 @@ def build_scene(
             return 0
         if uri in uri_to_id:
             return uri_to_id[uri]
+        if memory_assets is not None and uri in memory_assets:
+            ktx = parse_ktx2(memory_assets[uri])
+            pyramids.append(tex_mod.decode_ktx2_texture(ktx))
+            tid = len(pyramids) - 1
+            uri_to_id[uri] = tid
+            texture_uris.append(uri)
+            return tid
         path = os.path.join(data_dir, uri) if data_dir is not None else uri
         if not os.path.exists(path):
             log.error("failed to find texture: %s", uri)
@@ -210,6 +221,89 @@ def load_instanced_dragons(data_dir: str, count: int = 64, spacing: float = 0.35
         )
         transforms.append(math3d.translation(offs))
     return build_scene([replicate_model(dragon, transforms)], data_dir=data_dir)
+
+
+def _quad_draw(
+    center, size_x, size_z, y, uv_scale, image_uri, normal_up=True
+) -> PrimitiveDraw:
+    """Procedural textured floor/ceiling quad (world-space verts)."""
+    from tpurast import math3d
+
+    hx, hz = size_x / 2, size_z / 2
+    cx, cz = center
+    positions = np.array(
+        [
+            [cx - hx, y, cz - hz],
+            [cx + hx, y, cz - hz],
+            [cx + hx, y, cz + hz],
+            [cx - hx, y, cz + hz],
+        ],
+        dtype=np.float32,
+    )
+    n = np.array([0.0, -1.0 if normal_up else 1.0, 0.0], dtype=np.float32)
+    # Winding: front-facing (CCW in y-down framebuffer coords) when seen
+    # from the -Y (up) side.
+    indices = np.array([0, 1, 2, 0, 2, 3] if normal_up else [0, 2, 1, 0, 3, 2], np.uint32)
+    uvs = np.array([[0, 0], [uv_scale, 0], [uv_scale, uv_scale], [0, uv_scale]], np.float32)
+    return PrimitiveDraw(
+        positions=positions,
+        normals=np.broadcast_to(n, (4, 3)).copy(),
+        uvs=uvs,
+        indices=indices,
+        model_matrix=math3d.mat4_identity(),
+        normal_matrix=np.eye(3, dtype=np.float32),
+        image_uri=image_uri,
+        material_name="procedural",
+        node_name="quad",
+    )
+
+
+def load_hdr_scene(data_dir: str) -> DeviceScene:
+    """BASELINE config #3: BC6H HDR base color + BC4u monochrome maps,
+    full mip chains, trilinear.
+
+    Geometry: two crates textured with the shipped BC6H assets
+    (hdr_bc6u: true HDR radiances up to 65504; missing_bc6u: 8-mip
+    chain) over a floor quad textured with a GENERATED BC4u KTX2
+    (tpurast.assets.ktx2_write — the reference has the BC4 code path,
+    src/wgpu.zig:137, but ships no asset)."""
+    import dataclasses as _dc
+
+    from tpurast import math3d
+    from tpurast.assets.ktx2_write import make_bc4_ktx2
+
+    up = math3d.WORLD_SPACE.up.vector()
+    crate = load_glb(
+        os.path.join(data_dir, "meshes/crate.glb"),
+        post_transform=math3d.compose(math3d.scaling(0.4), math3d.translation(up * -1.4)),
+    )
+    crate_hdr = GltfModel(
+        draws=[_dc.replace(d, image_uri="textures/hdr_bc6u.ktx2") for d in crate.draws],
+        image_uris=["textures/hdr_bc6u.ktx2"],
+    )
+    crate2 = load_glb(
+        os.path.join(data_dir, "meshes/crate.glb"),
+        post_transform=math3d.compose(
+            math3d.scaling(0.4), math3d.translation(up * -1.4 + np.array([1.0, 0, 0]))
+        ),
+    )
+    crate_mips = GltfModel(
+        draws=[_dc.replace(d, image_uri="textures/missing_bc6u.ktx2") for d in crate2.draws],
+        image_uris=["textures/missing_bc6u.ktx2"],
+    )
+    # Generated BC4u stripes (full mip chain exercises trilinear).
+    y, x = np.mgrid[0:256, 0:256]
+    stripes = (((x // 8) % 2) * 220 + 20).astype(np.uint8)
+    bc4_blob = make_bc4_ktx2(stripes)
+    floor = GltfModel(
+        draws=[_quad_draw((0.0, 0.0), 8.0, 8.0, 1.8, 8.0, "mem://bc4_stripes.ktx2")],
+        image_uris=["mem://bc4_stripes.ktx2"],
+    )
+    return build_scene(
+        [floor, crate_hdr, crate_mips],
+        data_dir=data_dir,
+        memory_assets={"mem://bc4_stripes.ktx2": bc4_blob},
+    )
 
 
 def load_demo_scene(data_dir: str, include_porsche: bool = True) -> DeviceScene:
