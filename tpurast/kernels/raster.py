@@ -68,8 +68,7 @@ def _raster_kernel(
     seg_tile_ref,  # SMEM (G,) int32 — segment -> tile
     seg_block_ref,  # SMEM (G,) int32 — segment -> chunk index within tile
     setup_ref,  # VMEM (SETUP_WIDTH, 128) f32 — this segment's lane-major setup
-    depth_ref,  # VMEM (1, 1, N) f32 out (revisited across segments)
-    fid_ref,  # VMEM (1, 1, N) f32 out — winning face id, -1 = none
+    out_ref,  # VMEM (1, 2, N) f32: row 0 = depth, row 1 = face id (-1 = none)
     *,
     tile_h: int,
     tile_w: int,
@@ -89,8 +88,8 @@ def _raster_kernel(
 
     @pl.when(j == 0)
     def _init():
-        depth_ref[0] = jnp.full((1, n), clear_depth, dtype=jnp.float32)
-        fid_ref[0] = jnp.full((1, n), -1.0, dtype=jnp.float32)
+        out_ref[0, 0:1] = jnp.full((1, n), clear_depth, dtype=jnp.float32)
+        out_ref[0, 1:2] = jnp.full((1, n), -1.0, dtype=jnp.float32)
 
     count = jnp.minimum(jnp.maximum(counts_ref[t] - j * CHUNK, 0), CHUNK)
 
@@ -148,9 +147,9 @@ def _raster_kernel(
 
         z_row = z_best.reshape(1, n)
         fid_row = fid_best.reshape(1, n)
-        passes = (z_row >= depth_ref[0]) & (fid_row >= 0.0)
-        depth_ref[0] = jnp.where(passes, z_row, depth_ref[0])
-        fid_ref[0] = jnp.where(passes, fid_row, fid_ref[0])
+        passes = (z_row >= out_ref[0, 0:1]) & (fid_row >= 0.0)
+        out_ref[0, 0:1] = jnp.where(passes, z_row, out_ref[0, 0:1])
+        out_ref[0, 1:2] = jnp.where(passes, fid_row, out_ref[0, 1:2])
 
 
 def build_segments(tile_counts, n_segments: int, max_blocks_per_tile: int):
@@ -249,31 +248,35 @@ def rasterize_visibility(
         num_scalar_prefetch=3,  # counts, seg_tile, seg_block
         grid=(n_segments,),
         in_specs=[
-            pl.BlockSpec((SETUP_WIDTH, CHUNK), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (SETUP_WIDTH, CHUNK),
+                # Tail segments (sentinel block index) all map to block 0:
+                # a repeated block index skips the DMA entirely.
+                lambda g, counts, seg_tile, seg_block: (
+                    0,
+                    jnp.where(seg_block[g] >= jnp.int32(max_blocks), 0, g),
+                ),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, n),
-                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, n),
+                (1, 2, n),
                 lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
     )
-    depth, fid_f = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, 1, n), jnp.float32),
-            jax.ShapeDtypeStruct((t, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((t, 2, n), jnp.float32),
         ],
         interpret=_k.interpret_mode(),
-    )(tile_counts, seg_tile, seg_block, setup_lanes)
-    fid = fid_f.astype(jnp.int32)
+    )(tile_counts, seg_tile, seg_block, setup_lanes)[0]
+    depth = out[:, 0:1]
+    fid = out[:, 1:2].astype(jnp.int32)
     return (
         _tiles_to_image(depth, tile_h, tile_w, tiles_x, tiles_y),
         _tiles_to_image(fid, tile_h, tile_w, tiles_x, tiles_y),

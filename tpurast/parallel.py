@@ -168,7 +168,7 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
             bin_capacity=cap,
             segment_headroom=min(
                 config.segment_headroom,
-                max(1024, int(scene_dev["faces"].shape[0]) // 8),
+                max(512, int(scene_dev["faces"].shape[0]) // 32),
             ),
             clear_depth=config.clear_depth,
             clear_color=config.clear_color,

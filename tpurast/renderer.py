@@ -190,7 +190,7 @@ class Renderer:
                 # 128-triangle chunks is generous for real scenes).
                 segment_headroom=min(
                     cfg.segment_headroom,
-                    max(1024, self.scene_host.faces.shape[0] // 8),
+                    max(512, self.scene_host.faces.shape[0] // 32),
                 ),
                 clear_depth=cfg.clear_depth,
                 clear_color=cfg.clear_color,
