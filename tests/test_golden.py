@@ -1,0 +1,67 @@
+"""Golden-framebuffer regression tests (SURVEY §4 strategy item 3).
+
+Goldens are rendered on CPU (deterministic for a fixed jax version) and
+stored in tests/goldens/. Regenerate after intentional rendering changes:
+
+    UPDATE_GOLDENS=1 python -m pytest tests/test_golden.py
+
+The comparison allows a small number of knife-edge pixel flips (float
+reassociation across jax/XLA versions) but pins everything else exactly.
+"""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpurast.camera import Camera
+from tpurast.config import RendererConfig
+from tpurast.device.scene import load_demo_scene, load_hdr_scene
+from tpurast.renderer import Renderer
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
+
+
+def _check_golden(name: str, image: np.ndarray):
+    path = GOLDEN_DIR / f"{name}.png"
+    if os.environ.get("UPDATE_GOLDENS") == "1" or not path.exists():
+        GOLDEN_DIR.mkdir(exist_ok=True)
+        Image.fromarray(image).save(path)
+        if os.environ.get("UPDATE_GOLDENS") != "1":
+            pytest.skip(f"golden {name} created; rerun to compare")
+        return
+    golden = np.asarray(Image.open(path))
+    assert golden.shape == image.shape
+    diff = np.abs(golden.astype(int) - image.astype(int))
+    mismatched = (diff > 2).any(axis=-1)
+    frac = mismatched.mean()
+    assert frac < 0.005, (
+        f"golden {name}: {frac:.4%} of pixels differ by >2 LSB "
+        f"(max diff {diff.max()}); set UPDATE_GOLDENS=1 if intentional"
+    )
+
+
+@pytest.fixture(scope="module")
+def demo_scene(data_dir):
+    return load_demo_scene(str(data_dir))
+
+
+def test_golden_demo_init_camera(demo_scene):
+    r = Renderer(demo_scene, RendererConfig(width=192, height=108, segment_headroom=192))
+    out = r.render_to_host(Camera.from_target([0, 0, -2.5], [0, 0, 1]))
+    _check_golden("demo_init_192x108", out)
+
+
+def test_golden_demo_crate_closeup(demo_scene):
+    r = Renderer(demo_scene, RendererConfig(width=192, height=108, segment_headroom=192))
+    out = r.render_to_host(Camera.from_target([0.9, 0.6, -0.9], [0.0, 0.95, 0.0]))
+    _check_golden("demo_closeup_192x108", out)
+
+
+def test_golden_hdr(data_dir):
+    scene = load_hdr_scene(str(data_dir))
+    r = Renderer(scene, RendererConfig(width=192, height=108, segment_headroom=64))
+    out = r.render_to_host(Camera.from_target([0.6, 0.4, -2.0], [0.3, 1.5, 0.0]))
+    _check_golden("hdr_192x108", out)
