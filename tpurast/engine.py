@@ -53,6 +53,10 @@ class Engine:
         self.presenter = Presenter()
         self.stats = FrameStats()
         self.overlay_enabled = overlay
+        # The reference's single runtime toggle: the ImGui VSync checkbox
+        # flips present mode Fifo/Immediate (src/Renderer.zig:970-973).
+        # Headless analog: cap the loop at 60 Hz when enabled.
+        self.vsync = False
         self._last_instant: float | None = None
         self.frame_index = 0
 
@@ -81,6 +85,11 @@ class Engine:
 
         frame = self.renderer.render(self.camera)
         image = self.presenter.present(frame["color"])
+        if self.vsync:
+            budget = 1.0 / 60.0
+            elapsed = time.perf_counter() - now
+            if elapsed < budget:
+                time.sleep(budget - elapsed)
         after = time.perf_counter()
         self.stats.record(after - now)
         self.frame_index += 1

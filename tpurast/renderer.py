@@ -137,13 +137,36 @@ class Renderer:
         self.scene = scene.device()
         self.output = output
         self._configure_target(cfg.width, cfg.height)
+        # Startup dump — the analog of the reference's adapter
+        # properties/limits/features log (src/Renderer.zig:176-249).
+        dev = jax.devices()[0]
         log.info(
-            "renderer init: %dx%d, %d tris, %d textures, backend=%s",
+            "renderer init: %dx%d | device %s (%s, %d of %d) | backend=%s",
             cfg.width,
             cfg.height,
-            scene.n_faces,
-            len(scene.texture_uris),
+            getattr(dev, "device_kind", "?"),
+            dev.platform,
+            dev.id,
+            jax.device_count(),
             jax.default_backend(),
+        )
+        log.info(
+            "scene: %d tris, %d verts, %d textures (%s), atlas %.1f MB",
+            scene.n_faces,
+            scene.n_vertices,
+            len(scene.texture_uris),
+            ", ".join(scene.texture_uris),
+            scene.atlas.texels.nbytes / 1e6,
+        )
+        log.info(
+            "pipeline: tiles %dx%d (%dx%d px), bin capacity %d, reversed-Z "
+            "GreaterEqual, CCW front + back cull, clear %s",
+            self.tiles_x,
+            self.tiles_y,
+            cfg.tile_w,
+            cfg.tile_h,
+            self.bin_capacity,
+            cfg.clear_color,
         )
 
     # -- swapchain-equivalent: (re)configure render target ----------------
