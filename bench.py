@@ -31,6 +31,7 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--data-dir", default="/root/reference/data")
+    ap.add_argument("--texture-dtype", default=None)
     ap.add_argument("--tile-h", type=int, default=None)
     ap.add_argument("--tile-w", type=int, default=None)
     ap.add_argument(
@@ -61,6 +62,8 @@ def main() -> int:
     else:
         scene = load_demo_scene(args.data_dir)
     overrides = {}
+    if args.texture_dtype:
+        overrides["texture_dtype"] = args.texture_dtype
     if args.tile_h:
         overrides["tile_h"] = args.tile_h
     if args.tile_w:

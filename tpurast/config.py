@@ -64,6 +64,10 @@ class RendererConfig:
     # chunk) grid step; see kernels/raster.py.
     segment_headroom: int = 8192
 
+    # Atlas texel dtype: "bfloat16" halves texture-tap bandwidth (the
+    # dominant shade cost) at sub-u8 precision loss; "float32" is exact.
+    texture_dtype: str = "float32"
+
     # Texture sampling: trilinear by default (the reference requests
     # anisotropy 16 (src/Renderer.zig:515) but the baseline configs only
     # demand mip/trilinear; aniso is a future flag).

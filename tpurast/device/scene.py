@@ -62,7 +62,7 @@ class DeviceScene:
     def triangle_count(self) -> int:
         return self.n_faces
 
-    def device(self):
+    def device(self, texture_dtype: str = "float32"):
         import jax.numpy as jnp
 
         return {
@@ -76,7 +76,7 @@ class DeviceScene:
             "models": jnp.asarray(self.models),
             "normal_mats": jnp.asarray(self.normal_mats),
             "prim_tex": jnp.asarray(self.prim_tex),
-            "atlas": self.atlas.device(),
+            "atlas": self.atlas.device(texture_dtype),
         }
 
 

@@ -41,11 +41,14 @@ class TextureAtlas:
     sizes: np.ndarray  # (T, MAX_MIPS, 2) i32 (width, height) per mip
     n_mips: np.ndarray  # (T,) i32
 
-    def device(self):
+    def device(self, dtype: str = "float32"):
+        """Upload; dtype="bfloat16" halves HBM + tap gather bandwidth at
+        ~3 bits of texel precision (below u8-source noise for most
+        content; float32 preserves exactness)."""
         import jax.numpy as jnp
 
         return {
-            "texels": jnp.asarray(self.texels),
+            "texels": jnp.asarray(self.texels).astype(jnp.dtype(dtype)),
             "offsets": jnp.asarray(self.offsets),
             "sizes": jnp.asarray(self.sizes),
             "n_mips": jnp.asarray(self.n_mips),

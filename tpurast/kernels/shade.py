@@ -115,7 +115,7 @@ def _bilinear(texels, off, w, h, u, v):
     fy = (y - y0)[..., None]
     x0i = jnp.mod(x0.astype(jnp.int32), w)
     y0i = jnp.mod(y0.astype(jnp.int32), h)
-    quad = texels[off + y0i * w + x0i]  # (..., 16)
+    quad = texels[off + y0i * w + x0i].astype(jnp.float32)  # (..., 16)
     top = quad[..., 0:4] * (1 - fx) + quad[..., 4:8] * fx
     bot = quad[..., 8:12] * (1 - fx) + quad[..., 12:16] * fx
     return top * (1 - fy) + bot * fy
@@ -132,6 +132,7 @@ def shade_deferred(
     ambient_amount: float,
     specular_power: float,
     clear_color,
+    max_anisotropy: int = 1,
 ):
     """Returns (H, W, 4) f32 linear-color framebuffer."""
     h, w = fid.shape
@@ -189,15 +190,9 @@ def shade_deferred(
     h0 = trow[..., 32].astype(jnp.float32)
     n_mips = trow[..., 48]
 
-    rho2 = jnp.maximum(
-        (du_dx * w0) ** 2 + (dv_dx * h0) ** 2,
-        (du_dy * w0) ** 2 + (dv_dy * h0) ** 2,
-    )
-    lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-24))
-    lod = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
-    l0 = jnp.floor(lod).astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, n_mips - 1)
-    tfrac = (lod - l0.astype(jnp.float32))[..., None]
+    rho2_x = (du_dx * w0) ** 2 + (dv_dx * h0) ** 2
+    rho2_y = (du_dy * w0) ** 2 + (dv_dy * h0) ** 2
+    rho2_max = jnp.maximum(rho2_x, rho2_y)
 
     def level_fields(lvl):
         off = _lane_select(trow[..., 0:16], lvl)
@@ -205,11 +200,37 @@ def shade_deferred(
         th = _lane_select(trow[..., 32:48], lvl)
         return off, tw, th
 
-    off0, tw0, th0 = level_fields(l0)
-    off1, tw1, th1 = level_fields(l1)
-    c0 = _bilinear(texels, off0, tw0, th0, uv_u, uv_v)
-    c1 = _bilinear(texels, off1, tw1, th1, uv_u, uv_v)
-    albedo = c0 * (1 - tfrac) + c1 * tfrac
+    def trilinear(u, v, rho2):
+        lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-24))
+        lod = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n_mips - 1)
+        tfrac = (lod - l0.astype(jnp.float32))[..., None]
+        off0, tw0, th0 = level_fields(l0)
+        off1, tw1, th1 = level_fields(l1)
+        c0 = _bilinear(texels, off0, tw0, th0, u, v)
+        c1 = _bilinear(texels, off1, tw1, th1, u, v)
+        return c0 * (1 - tfrac) + c1 * tfrac
+
+    if max_anisotropy <= 1:
+        albedo = trilinear(uv_u, uv_v, rho2_max)
+    else:
+        # Anisotropic filtering (the reference's sampler requests
+        # maxAnisotropy 16, src/Renderer.zig:515): N trilinear probes
+        # spaced along the major-axis gradient, each at the minor-axis
+        # footprint's lod — footprint-weighted like hardware aniso, with
+        # a static probe count (N = max_anisotropy).
+        n = int(max_anisotropy)
+        major_is_x = rho2_x >= rho2_y
+        maj_du = jnp.where(major_is_x, du_dx, du_dy)
+        maj_dv = jnp.where(major_is_x, dv_dx, dv_dy)
+        rho2_min = jnp.minimum(rho2_x, rho2_y)
+        # Limit the sampled footprint to n probes' worth of the minor lod.
+        acc = 0.0
+        for i in range(n):
+            f = (i + 0.5) / n - 0.5
+            acc = acc + trilinear(uv_u + maj_du * f, uv_v + maj_dv * f, rho2_min)
+        albedo = acc / n
 
     # --- basic.frag lighting ---------------------------------------------
     ldir = jnp.asarray(light_direction, dtype=jnp.float32)

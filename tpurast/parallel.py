@@ -56,6 +56,7 @@ def render_frame_sharded(
     light_color,
     ambient_amount: float,
     specular_power: float,
+    max_anisotropy: int = 1,
 ):
     """Jit-compatible multi-device frame: returns dict with the color
     framebuffer (sharded over rows) and the global bin overflow count."""
@@ -120,6 +121,7 @@ def render_frame_sharded(
             ambient_amount=ambient_amount,
             specular_power=specular_power,
             clear_color=clear_color,
+            max_anisotropy=max_anisotropy,
         )
         color = present.encode_srgb_u8(fb, tiles_x * tile_w, slab_h)
         total_overflow = jax.lax.psum(jnp.sum(overflow) + dropped_segments, axis)
@@ -176,6 +178,7 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
             light_color=config.light_color,
             ambient_amount=config.ambient_amount,
             specular_power=config.specular_power,
+            max_anisotropy=config.max_anisotropy,
         )
     )
     return fn

@@ -54,6 +54,7 @@ def render_frame(
     light_color,
     ambient_amount: float,
     specular_power: float,
+    max_anisotropy: int = 1,
     output: str = "srgb_u8",
 ):
     """Pure frame function (jit-traced once per config/scene shape).
@@ -109,6 +110,7 @@ def render_frame(
         ambient_amount=ambient_amount,
         specular_power=specular_power,
         clear_color=clear_color,
+        max_anisotropy=max_anisotropy,
     )
     result = {
         "depth": present.crop_linear(depth, width, height),
@@ -134,7 +136,7 @@ class Renderer:
         self.config = config or RendererConfig()
         cfg = self.config
         self.scene_host = scene
-        self.scene = scene.device()
+        self.scene = scene.device(self.config.texture_dtype)
         self.output = output
         self._configure_target(cfg.width, cfg.height)
         # Startup dump — the analog of the reference's adapter
@@ -221,6 +223,7 @@ class Renderer:
                 light_color=cfg.light_color,
                 ambient_amount=cfg.ambient_amount,
                 specular_power=cfg.specular_power,
+                max_anisotropy=cfg.max_anisotropy,
                 output=self.output,
             )
         )
