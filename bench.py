@@ -37,7 +37,7 @@ def main() -> int:
     ap.add_argument(
         "--scene",
         default="demo",
-        choices=["demo", "dragons64", "hdr"],
+        choices=["demo", "dragons64", "hdr", "porsche_class"],
         help="demo = reference Engine.init scene; dragons64 = BASELINE config #4",
     )
     ap.add_argument("--save", default=None, help="save last frame PNG here")
@@ -59,6 +59,10 @@ def main() -> int:
         from tpurast.device.scene import load_hdr_scene
 
         scene = load_hdr_scene(args.data_dir)
+    elif args.scene == "porsche_class":
+        from tpurast.device.scene import load_porsche_class_scene
+
+        scene = load_porsche_class_scene(args.data_dir)
     else:
         scene = load_demo_scene(args.data_dir)
     overrides = {}

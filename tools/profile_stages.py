@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Per-stage device timing for the frame pipeline.
+
+Times jit-compiled prefixes of the pipeline (geometry+bin | +raster |
++shade | full) with the group-sync method from bench.py (tiny fetch to
+force completion; axon's block_until_ready does not block). The delta
+between successive prefixes approximates each stage's cost, including
+what XLA can overlap.
+
+Usage: python tools/profile_stages.py [--scene demo] [--width 1920] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def time_fn(fn, uniforms, scene, warmup=4, frames=24, group=4):
+    out = None
+    for u in uniforms[:warmup]:
+        out = fn(scene, *u)
+    np.asarray(next(iter(out.values())).ravel()[0])
+    times = []
+    for g in range(0, frames, group):
+        t0 = time.perf_counter()
+        for u in uniforms[warmup + g : warmup + g + group]:
+            out = fn(scene, *u)
+        np.asarray(next(iter(out.values())).ravel()[0])
+        times.append((time.perf_counter() - t0) / group)
+    return float(np.percentile(np.asarray(times) * 1e3, 50))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--scene", default="demo")
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--data-dir", default="/root/reference/data")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpurast.camera import Camera
+    from tpurast.config import RendererConfig
+    from tpurast.device.scene import load_demo_scene, load_instanced_dragons
+    from tpurast.kernels import geometry, present, raster, shade
+    from tpurast.renderer import Renderer
+
+    if args.scene == "dragons64":
+        scene_host = load_instanced_dragons(args.data_dir, 64)
+    else:
+        scene_host = load_demo_scene(args.data_dir)
+    cfg = RendererConfig(width=args.width, height=args.height)
+    r = Renderer(scene_host, cfg)
+
+    cams = []
+    for i in range(64):
+        ang = 0.4 + 0.01 * i
+        pos = np.array([1.2 * np.sin(ang), 0.75, -1.2 * np.cos(ang)], np.float32)
+        cams.append(Camera.from_target(pos, [0.0, 0.95, 0.0]))
+    uniforms = [r.frame_uniforms(c) for c in cams]
+
+    tiles_x, tiles_y = r.tiles_x, r.tiles_y
+    tw, th = cfg.tile_w, cfg.tile_h
+    seg_headroom = min(cfg.segment_headroom, max(512, scene_host.faces.shape[0] // 32))
+
+    def stage_geom(scene, view_proj, cam):
+        clip, world, wnormal = geometry.transform_vertices(
+            scene["positions"], scene["normals"], scene["vert_prim"],
+            scene["models"], scene["normal_mats"], view_proj)
+        s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
+                                    args.width, args.height)
+        return {"x": s["setup"][:, 0] + jnp.sum(s["valid"]) + world[0, 0] + wnormal[0, 0]}
+
+    def stage_bin(scene, view_proj, cam):
+        clip, world, wnormal = geometry.transform_vertices(
+            scene["positions"], scene["normals"], scene["vert_prim"],
+            scene["models"], scene["normal_mats"], view_proj)
+        s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
+                                    args.width, args.height)
+        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+            s["aabb"], s["valid"], tiles_x, tiles_y, tw, th, r.bin_capacity)
+        return {"x": tile_counts + tile_ids[:, 0]}
+
+    def stage_raster(scene, view_proj, cam):
+        clip, world, wnormal = geometry.transform_vertices(
+            scene["positions"], scene["normals"], scene["vert_prim"],
+            scene["models"], scene["normal_mats"], view_proj)
+        s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
+                                    args.width, args.height)
+        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+            s["aabb"], s["valid"], tiles_x, tiles_y, tw, th, r.bin_capacity)
+        depth, fid, dropped = raster.rasterize_visibility(
+            tile_counts, s["setup"], tile_ids, tile_h=th, tile_w=tw,
+            tiles_x=tiles_x, tiles_y=tiles_y, clear_depth=cfg.clear_depth,
+            segment_headroom=seg_headroom)
+        return {"x": fid}
+
+    def stage_gather_only(scene, view_proj, cam):
+        """Raster + the per-pixel fat gather, no shading math/tex."""
+        clip, world, wnormal = geometry.transform_vertices(
+            scene["positions"], scene["normals"], scene["vert_prim"],
+            scene["models"], scene["normal_mats"], view_proj)
+        s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
+                                    args.width, args.height)
+        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+            s["aabb"], s["valid"], tiles_x, tiles_y, tw, th, r.bin_capacity)
+        depth, fid, dropped = raster.rasterize_visibility(
+            tile_counts, s["setup"], tile_ids, tile_h=th, tile_w=tw,
+            tiles_x=tiles_x, tiles_y=tiles_y, clear_depth=cfg.clear_depth,
+            segment_headroom=seg_headroom)
+        faces = scene["faces"]
+        rows = shade.pack_shade_rows(
+            s["setup"], world[faces], wnormal[faces], scene["uvs"][faces],
+            scene["prim_tex"][scene["face_prim"]], scene["atlas"])
+        g = rows[jnp.maximum(fid, 0)]
+        return {"x": jnp.sum(g, axis=-1)}
+
+    full = r._frame_fn
+
+    results = {}
+    prev = 0.0
+    for name, fn in [
+        ("geometry+setup", jax.jit(stage_geom)),
+        ("+binning", jax.jit(stage_bin)),
+        ("+raster", jax.jit(stage_raster)),
+        ("+fat_gather", jax.jit(stage_gather_only)),
+        ("full(shade+present)", full),
+    ]:
+        ms = time_fn(fn, uniforms, r.scene, frames=args.frames)
+        results[name] = {"cum_ms": round(ms, 2), "delta_ms": round(ms - prev, 2)}
+        prev = ms
+        print(json.dumps({name: results[name]}), flush=True)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -306,6 +306,53 @@ def load_hdr_scene(data_dir: str) -> DeviceScene:
     )
 
 
+def load_porsche_class_scene(data_dir: str, max_textures: int = 11) -> DeviceScene:
+    """BASELINE config #2 stand-in: porche.glb is stripped from the mount
+    (.MISSING_LARGE_BLOBS), but its BC7 textures shipped. This scene
+    exercises the multi-material / high-res-texture path the Porsche
+    would: dragons + crates, each draw bound to a different Porsche
+    2048x2048 BC7 texture (full mip chains), arena around them.
+
+    When porche.glb is present, load_demo_scene picks it up instead.
+    """
+    import glob as _glob
+
+    from tpurast import math3d
+
+    up = math3d.WORLD_SPACE.up.vector()
+    uris = sorted(
+        os.path.relpath(p, data_dir)
+        for p in _glob.glob(os.path.join(data_dir, "textures/porche/*.ktx2"))
+    )[:max_textures]
+    if not uris:
+        raise FileNotFoundError("no porsche textures in data dir")
+
+    arena = load_glb(os.path.join(data_dir, "meshes/arena.glb"))
+    dragon = load_glb(os.path.join(data_dir, "meshes/stanford_dragon.glb"))
+    crate = load_glb(os.path.join(data_dir, "meshes/crate.glb"))
+    models = [arena]
+    for i, uri in enumerate(uris):
+        src = dragon if i % 2 == 0 else crate
+        gx, gz = i % 4, i // 4
+        post = math3d.compose(
+            math3d.scaling(2.0 if src is dragon else 0.25),
+            math3d.translation(
+                np.array([(gx - 1.5) * 0.8, 1.0 if src is dragon else 1.25, (gz - 1.0) * 0.8], np.float32)
+            ),
+        )
+        draws = [
+            dataclasses.replace(
+                d,
+                image_uri=uri,
+                model_matrix=math3d.compose(d.model_matrix, post),
+                normal_matrix=math3d.normal_matrix(math3d.compose(d.model_matrix, post)),
+            )
+            for d in src.draws
+        ]
+        models.append(GltfModel(draws=draws, image_uris=[uri]))
+    return build_scene(models, data_dir=data_dir)
+
+
 def load_demo_scene(data_dir: str, include_porsche: bool = True) -> DeviceScene:
     """The reference's 4-model demo scene (src/Engine.zig:110-141).
 

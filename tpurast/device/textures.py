@@ -42,13 +42,19 @@ class TextureAtlas:
     n_mips: np.ndarray  # (T,) i32
 
     def device(self, dtype: str = "float32"):
-        """Upload; dtype="bfloat16" halves HBM + tap gather bandwidth at
-        ~3 bits of texel precision (below u8-source noise for most
-        content; float32 preserves exactness)."""
+        """Upload; dtype="bfloat16" halves HBM (and upload time — the
+        cast happens host-side) at ~3 bits of texel precision (below
+        u8-source noise for most content; float32 preserves exactness).
+        Measured slower per-tap on v5e (gathers are op-rate bound), so
+        bfloat16 is a memory knob, not a speed knob."""
         import jax.numpy as jnp
+        import ml_dtypes
 
+        host = self.texels
+        if dtype != "float32":
+            host = host.astype(ml_dtypes.bfloat16 if dtype == "bfloat16" else dtype)
         return {
-            "texels": jnp.asarray(self.texels).astype(jnp.dtype(dtype)),
+            "texels": jnp.asarray(host),
             "offsets": jnp.asarray(self.offsets),
             "sizes": jnp.asarray(self.sizes),
             "n_mips": jnp.asarray(self.n_mips),
