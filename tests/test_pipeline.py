@@ -137,3 +137,25 @@ def test_instanced_dragons_scene(data_dir):
     out = r.render_to_host(cam)
     covered = (out[..., :3] != MAGENTA).any(-1)
     assert covered.sum() > 50
+
+
+def test_forward_shading_matches_deferred(demo_scene):
+    # The resolve-kernel forward path (kernels/resolve.py) must reproduce
+    # the deferred fat-gather path exactly: same interpolation formulas,
+    # bit-exact MXU attribute selection, same lighting op order.
+    cfgs = dict(width=160, height=96, segment_headroom=192)
+    cam = demo_camera()
+    fwd = Renderer(demo_scene, RendererConfig(shading="forward", **cfgs))
+    dfr = Renderer(demo_scene, RendererConfig(shading="deferred", **cfgs))
+    a = fwd.render(cam)
+    b = dfr.render(cam)
+    np.testing.assert_array_equal(np.asarray(a["depth"]), np.asarray(b["depth"]))
+    np.testing.assert_array_equal(np.asarray(a["color"]), np.asarray(b["color"]))
+
+
+def test_forward_matches_deferred_anisotropic(demo_scene):
+    cfgs = dict(width=128, height=96, segment_headroom=192, max_anisotropy=4)
+    cam = Camera.from_target([0.0, 1.3, -1.5], [0.0, 1.6, 1.0])  # grazing floor
+    fwd = Renderer(demo_scene, RendererConfig(shading="forward", **cfgs))
+    dfr = Renderer(demo_scene, RendererConfig(shading="deferred", **cfgs))
+    np.testing.assert_array_equal(fwd.render_to_host(cam), dfr.render_to_host(cam))

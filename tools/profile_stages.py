@@ -125,13 +125,57 @@ def main() -> int:
 
     full = r._frame_fn
 
+    from tpurast.kernels import resolve as kresolve
+
+    def _common(scene, view_proj):
+        clip, world, wnormal = geometry.transform_vertices(
+            scene["positions"], scene["normals"], scene["vert_prim"],
+            scene["models"], scene["normal_mats"], view_proj)
+        s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
+                                    args.width, args.height)
+        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+            s["aabb"], s["valid"], tiles_x, tiles_y, tw, th, r.bin_capacity)
+        plan = raster.plan_segments(tile_counts, tile_ids, segment_headroom=seg_headroom)
+        vis = raster.rasterize_tiles(tile_counts, s["setup"], plan,
+                                     tile_h=th, tile_w=tw, tiles_x=tiles_x,
+                                     tiles_y=tiles_y, clear_depth=cfg.clear_depth)
+        return s, world, wnormal, tile_counts, plan, vis
+
+    def stage_resolve(scene, view_proj, cam):
+        s, world, wnormal, tile_counts, plan, vis = _common(scene, view_proj)
+        faces = scene["faces"]
+        attrs = kresolve.pack_resolve_attrs(
+            s["setup"], world[faces], wnormal[faces], scene["uvs"][faces],
+            scene["prim_tex"][scene["face_prim"]], scene["atlas"])
+        gbuf = kresolve.resolve_gbuffer(tile_counts, vis, attrs, plan,
+                                        tile_h=th, tile_w=tw, tiles_x=tiles_x)
+        return {"x": gbuf[:, 17, :]}
+
+    def stage_shade_tiles(scene, view_proj, cam):
+        s, world, wnormal, tile_counts, plan, vis = _common(scene, view_proj)
+        faces = scene["faces"]
+        attrs = kresolve.pack_resolve_attrs(
+            s["setup"], world[faces], wnormal[faces], scene["uvs"][faces],
+            scene["prim_tex"][scene["face_prim"]], scene["atlas"])
+        gbuf = kresolve.resolve_gbuffer(tile_counts, vis, attrs, plan,
+                                        tile_h=th, tile_w=tw, tiles_x=tiles_x)
+        fb = shade.shade_gbuffer(gbuf, scene["atlas"]["texels"], cam,
+                                 light_direction=cfg.light_direction,
+                                 light_color=cfg.light_color,
+                                 ambient_amount=cfg.ambient_amount,
+                                 specular_power=cfg.specular_power,
+                                 clear_color=cfg.clear_color,
+                                 max_anisotropy=cfg.max_anisotropy)
+        return {"x": fb[:, :, 0]}
+
     results = {}
     prev = 0.0
     for name, fn in [
         ("geometry+setup", jax.jit(stage_geom)),
         ("+binning", jax.jit(stage_bin)),
         ("+raster", jax.jit(stage_raster)),
-        ("+fat_gather", jax.jit(stage_gather_only)),
+        ("+resolve", jax.jit(stage_resolve)),
+        ("+shade_tiles", jax.jit(stage_shade_tiles)),
         ("full(shade+present)", full),
     ]:
         ms = time_fn(fn, uniforms, r.scene, frames=args.frames)

@@ -64,14 +64,22 @@ class RendererConfig:
     # chunk) grid step; see kernels/raster.py.
     segment_headroom: int = 8192
 
-    # Atlas texel dtype: "bfloat16" halves texture-tap bandwidth (the
-    # dominant shade cost) at sub-u8 precision loss; "float32" is exact.
-    texture_dtype: str = "float32"
+    # Atlas texel dtype. "float16" (default) halves the per-row gather
+    # cost on v5e (sub-4-byte rows move 2-3x faster through the gather
+    # unit) and is exact for BC6H sources / <1 u8 LSB for BC7; "float32"
+    # is bit-exact to the f32 sampling reference; "bfloat16" is a memory
+    # knob only.
+    texture_dtype: str = "float16"
 
     # Texture sampling: trilinear by default (the reference requests
     # anisotropy 16 (src/Renderer.zig:515) but the baseline configs only
     # demand mip/trilinear; aniso is a future flag).
     max_anisotropy: int = 1
+
+    # Shading path: "forward" interpolates attributes per pixel inside the
+    # Pallas resolve kernel (kernels/resolve.py; fastest); "deferred" is
+    # the per-pixel fat-gather path (same output, kept for verification).
+    shading: str = "forward"
 
     @property
     def vfov(self) -> float:

@@ -62,7 +62,7 @@ class DeviceScene:
     def triangle_count(self) -> int:
         return self.n_faces
 
-    def device(self, texture_dtype: str = "float32"):
+    def device(self, texture_dtype: str = "float16"):
         import jax.numpy as jnp
 
         return {

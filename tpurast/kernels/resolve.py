@@ -1,0 +1,295 @@
+"""Forward attribute resolve: per-pixel G-buffer from the visibility pass.
+
+The deferred shade path (kernels/shade.py) gathers a 104-float row per
+PIXEL (2M rows at 1080p) and runs the interpolation math over the
+materialized (H, W, 104) tensor — the dominant frame cost on v5e. This
+kernel moves interpolation into a second Pallas sweep over the SAME
+segment schedule as the raster pass (kernels/raster.py), where attribute
+rows are fetched per SEGMENT (O(binned pairs), ~3 orders of magnitude
+fewer rows):
+
+  1. Per segment, a match matrix m[c, p] = (face_id[lane c] == fid[pixel p])
+     marks which pixels this chunk's triangles won — ONE vector compare.
+  2. The winning triangle's ~56 attribute scalars are selected per pixel
+     with ONE MXU matmul  sel = ATTR (A, C) @ m (C, N).  With
+     Precision.HIGHEST (3-way bf16 split = full 24-bit mantissa) and m
+     exactly {0, 1}, the selection is BIT-EXACT — verified on v5e —
+     which matters because atlas offsets ride through it.
+  3. Perspective-correct barycentrics, world/normal/UV interpolation,
+     analytic UV screen derivatives, LOD and mip selection all run on
+     lane-major (1, N) rows in VMEM, writing a compact 18-float/pixel
+     G-buffer. XLA then only does the 2 texel-quad gathers + lighting
+     (shade.shade_gbuffer).
+
+Texture info is carried as f32: mip offsets as offset/256 (exact — the
+atlas aligns mip allocations to 256 quad rows, device/textures.py), mip
+dimensions recomputed as max(w0 >> l, 1) via exact power-of-two scaling.
+
+Semantics replaced: the attribute-interpolation half of the GPU's
+fixed-function rasterizer + the vertex-output interpolators feeding
+shaders/src/basic.frag (reference pipeline src/Renderer.zig:396-462).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurast import kernels as _k
+from tpurast.kernels.geometry import SETUP_WIDTH
+from tpurast.kernels.raster import CHUNK
+
+# Attribute-table row layout (A_IN, per face), lane-major in the kernel:
+#   0..8   edge matrix E (a0,b0,c0, a1,b1,c1, a2,b2,c2)
+#   9,10   screen anchor x, y
+#   11     face id
+#   12..17 per-vertex UV (u0,v0, u1,v1, u2,v2)
+#   18..26 per-vertex world position (v0 xyz, v1 xyz, v2 xyz)
+#   27..35 per-vertex world normal
+#   36..51 per-mip atlas offset / 256 (16 levels)
+#   52,53  mip-0 width, height
+#   54     mip count
+#   55     constant 1.0 (selects into the per-pixel "matched" flag)
+A_IN = 56
+
+# G-buffer row layout (A_OUT, per pixel):
+#   0..2 world | 3..5 normal | 6,7 u,v | 8 off0/256 | 9,10 tw0,th0
+#   11 off1/256 | 12,13 tw1,th1 | 14 mip frac | 15,16 aniso major du,dv
+#   17 matched flag | 18..23 pad
+A_OUT = 24
+MAX_MIPS = 16
+
+
+def pack_resolve_attrs(setup, face_world, face_normal, face_uv, face_tex, atlas):
+    """(F, A_IN) f32 per-face attribute table (O(F) per frame, XLA).
+
+    atlas offsets must be 256-row aligned (device/textures.py build_atlas).
+    """
+    f = setup.shape[0]
+    offsets = atlas["offsets"]  # (T, 16) i32, 256-aligned
+    sizes = atlas["sizes"]  # (T, 16, 2) i32
+    n_mips = atlas["n_mips"]  # (T,) i32
+    tex_cols = jnp.concatenate(
+        [
+            (offsets // 256).astype(jnp.float32),
+            sizes[:, 0, 0:1].astype(jnp.float32),  # mip-0 width
+            sizes[:, 0, 1:2].astype(jnp.float32),  # mip-0 height
+            n_mips.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )[face_tex]  # (F, 19)
+    return jnp.concatenate(
+        [
+            setup[:, 0:9],  # E
+            setup[:, 16:18],  # anchor
+            setup[:, 15:16],  # face id
+            face_uv.reshape(f, 6),
+            face_world.reshape(f, 9),
+            face_normal.reshape(f, 9),
+            tex_cols,
+            jnp.ones((f, 1), dtype=jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def _resolve_kernel(
+    counts_ref,  # SMEM (T,) int32
+    seg_tile_ref,  # SMEM (G,) int32
+    seg_block_ref,  # SMEM (G,) int32
+    attr_ref,  # VMEM (A_IN, CHUNK) f32 — this segment's attribute lanes
+    vis_ref,  # VMEM (1, 2, N) f32 — raster output (depth, face id)
+    out_ref,  # VMEM (1, A_OUT, N) f32 — G-buffer tile
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    anisotropic: bool,
+):
+    g = pl.program_id(0)
+    t = seg_tile_ref[g]
+    j = seg_block_ref[g]
+    ty = t // tiles_x
+    tx = t % tiles_x
+    n = tile_h * tile_w
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    count = jnp.minimum(jnp.maximum(counts_ref[t] - j * CHUNK, 0), CHUNK)
+
+    @pl.when(count > 0)
+    def _work():
+        fid = vis_ref[0, 1:2, :]  # (1, N)
+        lane_fid = attr_ref[11:12, :].reshape(CHUNK, 1)
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        # Padded lanes clamp to the bin's last slot (duplicate face ids) —
+        # they MUST be masked or a winner in the last real lane selects 2x.
+        m = ((lane_fid == fid) & (lane_idx < count)).astype(jnp.float32)  # (C, N)
+        sel = jax.lax.dot_general(
+            attr_ref[...],
+            m,
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,  # bit-exact selection
+            preferred_element_type=jnp.float32,
+        )  # (A_IN, N)
+
+        def s(i):
+            return sel[i : i + 1, :]
+
+        matched = s(55)
+
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        px = (tx * tile_w).astype(jnp.float32) + 0.5 + (lin % tile_w).astype(jnp.float32) - s(9)
+        py = (ty * tile_h).astype(jnp.float32) + 0.5 + (lin // tile_w).astype(jnp.float32) - s(10)
+        e0 = s(0) * px + s(1) * py + s(2)
+        e1 = s(3) * px + s(4) * py + s(5)
+        e2 = s(6) * px + s(7) * py + s(8)
+        esum = e0 + e1 + e2
+        # Mirrors shade._safe_div so forward == deferred bit-for-bit.
+        eps = jnp.float32(1e-30)
+        den = jnp.where(jnp.abs(esum) < eps, jnp.where(esum < 0, -eps, eps), esum)
+        inv = 1.0 / den
+        u0 = e0 * inv
+        u1 = e1 * inv
+        u2 = e2 * inv
+
+        def interp(b0, b1, b2):
+            return u0 * s(b0) + u1 * s(b1) + u2 * s(b2)
+
+        uv_u = interp(12, 14, 16)
+        uv_v = interp(13, 15, 17)
+        wx, wy, wz = interp(18, 21, 24), interp(19, 22, 25), interp(20, 23, 26)
+        nx_, ny_, nz_ = interp(27, 30, 33), interp(28, 31, 34), interp(29, 32, 35)
+
+        # Analytic UV screen derivatives (uv = N(p)/D(p), both linear).
+        d_x = s(0) + s(3) + s(6)
+        d_y = s(1) + s(4) + s(7)
+        inv2 = inv * inv
+
+        def duv(c0, c1, c2):
+            nval = e0 * s(c0) + e1 * s(c1) + e2 * s(c2)
+            gx = s(0) * s(c0) + s(3) * s(c1) + s(6) * s(c2)
+            gy = s(1) * s(c0) + s(4) * s(c1) + s(7) * s(c2)
+            return (gx * esum - nval * d_x) * inv2, (gy * esum - nval * d_y) * inv2
+
+        du_dx, du_dy = duv(12, 14, 16)
+        dv_dx, dv_dy = duv(13, 15, 17)
+
+        w0 = s(52)
+        h0 = s(53)
+        n_mips = s(54)
+        rho2_x = (du_dx * w0) ** 2 + (dv_dx * h0) ** 2
+        rho2_y = (du_dy * w0) ** 2 + (dv_dy * h0) ** 2
+        if anisotropic:
+            rho2 = jnp.minimum(rho2_x, rho2_y)
+            major_is_x = rho2_x >= rho2_y
+            maj_du = jnp.where(major_is_x, du_dx, du_dy)
+            maj_dv = jnp.where(major_is_x, dv_dx, dv_dy)
+        else:
+            rho2 = jnp.maximum(rho2_x, rho2_y)
+            maj_du = jnp.zeros_like(rho2)
+            maj_dv = maj_du
+
+        lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-24))
+        lod = jnp.clip(lod, 0.0, n_mips - 1.0)
+        l0 = jnp.floor(lod)
+        l1 = jnp.minimum(l0 + 1.0, n_mips - 1.0)
+        tfrac = lod - l0
+
+        # Mip select: unrolled masked accumulation over the 16 levels
+        # (no dynamic minor-dim indexing on TPU). Level dims derive from
+        # mip 0 by exact power-of-two scaling: max(floor(w0 * 2^-l), 1).
+        off0 = jnp.zeros_like(l0)
+        off1 = jnp.zeros_like(l0)
+        pow0 = jnp.zeros_like(l0)
+        pow1 = jnp.zeros_like(l0)
+        for mi in range(MAX_MIPS):
+            lvl = jnp.float32(mi)
+            pw = jnp.float32(2.0 ** (-mi))
+            off0 = off0 + jnp.where(l0 == lvl, s(36 + mi), 0.0)
+            off1 = off1 + jnp.where(l1 == lvl, s(36 + mi), 0.0)
+            pow0 = pow0 + jnp.where(l0 == lvl, pw, 0.0)
+            pow1 = pow1 + jnp.where(l1 == lvl, pw, 0.0)
+        tw0 = jnp.maximum(jnp.floor(w0 * pow0), 1.0)
+        th0 = jnp.maximum(jnp.floor(h0 * pow0), 1.0)
+        tw1 = jnp.maximum(jnp.floor(w0 * pow1), 1.0)
+        th1 = jnp.maximum(jnp.floor(h0 * pow1), 1.0)
+
+        new = jnp.concatenate(
+            [
+                wx, wy, wz,
+                nx_, ny_, nz_,
+                uv_u, uv_v,
+                off0, tw0, th0,
+                off1, tw1, th1,
+                tfrac, maj_du, maj_dv,
+                matched,
+                jnp.zeros((A_OUT - 18, n), dtype=jnp.float32),
+            ],
+            axis=0,
+        )  # (A_OUT, N)
+        out_ref[0] = jnp.where(matched > 0.0, new, out_ref[0])
+
+
+def resolve_gbuffer(
+    tile_counts,  # (T,) int32
+    vis_tiles,  # (T, 2, N) f32 raster output
+    attrs,  # (F, A_IN) f32 from pack_resolve_attrs
+    plan,  # from raster.plan_segments (MUST be the raster pass's plan)
+    *,
+    tile_h: int,
+    tile_w: int,
+    tiles_x: int,
+    anisotropic: bool = False,
+):
+    """Second segment sweep: per-pixel G-buffer (T, A_OUT, N)."""
+    t, _, n = vis_tiles.shape
+    n_segments = plan["n_segments"]
+    max_blocks = plan["max_blocks"]
+    attr_lanes = attrs[plan["seg_faces"]].T  # (A_IN, G*C) lane-major
+
+    kernel = functools.partial(
+        _resolve_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        anisotropic=anisotropic,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_segments,),
+        in_specs=[
+            pl.BlockSpec(
+                (A_IN, CHUNK),
+                lambda g, counts, seg_tile, seg_block: (
+                    0,
+                    jnp.where(seg_block[g] >= jnp.int32(max_blocks), 0, g),
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, n),
+                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, A_OUT, n),
+                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((t, A_OUT, n), jnp.float32)],
+        interpret=_k.interpret_mode(),
+    )(tile_counts, plan["seg_tile"], plan["seg_block"], attr_lanes, vis_tiles)[0]

@@ -16,7 +16,8 @@ covered pixel exactly once:
      TPU, SURVEY §7 hard-part #4); per-level atlas offset/size are
      lane-selected from a second fat row (masked reduction, not a
      minor-dim gather).
-  4. Trilinear = 2 mips x 4 bilinear taps = 8 texel-row gathers.
+  4. Trilinear = ONE row gather (own-mip quad + parent-mip window
+     packed per row, device/textures.py) + in-register blends.
   5. Lighting: ambient + Lambert diffuse + Phong specular with the
      specular mask in albedo alpha — basic.frag:15-38, same constants.
 
@@ -99,26 +100,66 @@ def _lane_select(rows, lane):
     return jnp.sum(jnp.where(lane[..., None] == iota, rows, 0), axis=-1)
 
 
-def _bilinear(texels, off, w, h, u, v):
-    """Bilinear tap with repeat addressing: ONE quad-row gather.
+def _lerp_quad(quad, fx, fy):
+    """Bilinear blend of a 16-float [TL, TR, BL, BR] channel-block quad."""
+    top = quad[..., 0:4] * (1 - fx) + quad[..., 4:8] * fx
+    bot = quad[..., 8:12] * (1 - fx) + quad[..., 12:16] * fx
+    return top * (1 - fy) + bot * fy
 
-    texels rows are 2x2 wrapped footprints (device/textures.py), so a
-    single gather at (x0, y0) yields all four corners.
+
+def _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v):
+    """Trilinear sample with repeat addressing: ONE row gather.
+
+    Atlas rows (device/textures.py) carry the own-mip 2x2 quad plus the
+    parent-mip 3x3 window anchored at ((x0-1)//2, (y0-1)//2); the parent
+    bilinear footprint starts at offset dx, dy in {0, 1} inside the
+    window, computed exactly below. Gather row count (not width) is the
+    v5e sampling wall, so folding both mip taps into one row halves the
+    texture-unit cost.
     """
-    wf = w.astype(jnp.float32)
-    hf = h.astype(jnp.float32)
+    wf = tw0.astype(jnp.float32)
+    hf = th0.astype(jnp.float32)
     x = u * wf - 0.5
     y = v * hf - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    x0i = jnp.mod(x0.astype(jnp.int32), w)
-    y0i = jnp.mod(y0.astype(jnp.int32), h)
-    quad = texels[off + y0i * w + x0i].astype(jnp.float32)  # (..., 16)
-    top = quad[..., 0:4] * (1 - fx) + quad[..., 4:8] * fx
-    bot = quad[..., 8:12] * (1 - fx) + quad[..., 12:16] * fx
-    return top * (1 - fy) + bot * fy
+    x0i = jnp.mod(x0.astype(jnp.int32), tw0)
+    y0i = jnp.mod(y0.astype(jnp.int32), th0)
+    row = texels[off0 + y0i * tw0 + x0i].astype(jnp.float32)  # (..., 52)
+    c0 = _lerp_quad(row[..., 0:16], fx, fy)
+
+    # Parent-mip footprint: same sample point in mip l+1 coordinates.
+    wf1 = tw1.astype(jnp.float32)
+    hf1 = th1.astype(jnp.float32)
+    x1f = u * wf1 - 0.5
+    y1f = v * hf1 - 0.5
+    x1 = jnp.floor(x1f)
+    y1 = jnp.floor(y1f)
+    fx1 = (x1f - x1)[..., None]
+    fy1 = (y1f - y1)[..., None]
+    # Window anchor in unwrapped coords; dx, dy in {0, 1} by construction
+    # for power-of-two mips (w1 == w0/2). The clip is exact where it can
+    # bind: a dimension-1 mip (w1 == w0 == 1) has a uniform window, so
+    # any in-range offset reads the same texel.
+    dx = jnp.clip(x1 - jnp.floor((x0 - 1.0) * 0.5), 0.0, 1.0)
+    dy = jnp.clip(y1 - jnp.floor((y0 - 1.0) * 0.5), 0.0, 1.0)
+
+    def win_quad(r, c):  # 2x2 quad starting at window texel (r, c)
+        def t(rr, cc):
+            s = 16 + (rr * 3 + cc) * 4
+            return row[..., s : s + 4]
+
+        return jnp.concatenate([t(r, c), t(r, c + 1), t(r + 1, c), t(r + 1, c + 1)], axis=-1)
+
+    quad1 = jnp.where(
+        (dy == 0.0)[..., None],
+        jnp.where((dx == 0.0)[..., None], win_quad(0, 0), win_quad(0, 1)),
+        jnp.where((dx == 0.0)[..., None], win_quad(1, 0), win_quad(1, 1)),
+    )
+    c1 = _lerp_quad(quad1, fx1, fy1)
+    return c0 * (1 - tfrac) + c1 * tfrac
 
 
 def shade_deferred(
@@ -207,10 +248,8 @@ def shade_deferred(
         l1 = jnp.minimum(l0 + 1, n_mips - 1)
         tfrac = (lod - l0.astype(jnp.float32))[..., None]
         off0, tw0, th0 = level_fields(l0)
-        off1, tw1, th1 = level_fields(l1)
-        c0 = _bilinear(texels, off0, tw0, th0, u, v)
-        c1 = _bilinear(texels, off1, tw1, th1, u, v)
-        return c0 * (1 - tfrac) + c1 * tfrac
+        _, tw1, th1 = level_fields(l1)
+        return _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v)
 
     if max_anisotropy <= 1:
         albedo = trilinear(uv_u, uv_v, rho2_max)
@@ -233,6 +272,78 @@ def shade_deferred(
         albedo = acc / n
 
     # --- basic.frag lighting ---------------------------------------------
+    ldir = jnp.asarray(light_direction, dtype=jnp.float32)
+    lcol = jnp.asarray(light_color, dtype=jnp.float32)
+    n = normal * _rnorm(normal)
+    view_dir = camera_position[None, None, :] - world
+    v = view_dir * _rnorm(view_dir)
+
+    n_dot_l = jnp.sum(n * ldir, axis=-1, keepdims=True)
+    diffuse_amount = jnp.maximum(0.0, n_dot_l)
+    r = 2.0 * n_dot_l * n - ldir  # reflect(-l, n)
+    spec_amount = albedo[..., 3:4] * jnp.power(
+        jnp.maximum(0.0, jnp.sum(v * r, axis=-1, keepdims=True)), specular_power
+    )
+    color = (ambient_amount + diffuse_amount) * lcol * albedo[..., :3] + spec_amount * lcol
+
+    out = jnp.concatenate([color, jnp.ones_like(color[..., :1])], axis=-1)
+    clear = jnp.asarray(clear_color, dtype=jnp.float32)
+    return jnp.where(mask[..., None], out, clear[None, None, :])
+
+
+def shade_gbuffer(
+    gbuf,  # (T, A_OUT, N) f32 from kernels/resolve.py
+    texels,  # (N, 16) linear quad-row atlas
+    camera_position,  # (3,) f32
+    *,
+    light_direction,
+    light_color,
+    ambient_amount: float,
+    specular_power: float,
+    clear_color,
+    max_anisotropy: int = 1,
+):
+    """Forward-path shading tail: the resolve kernel already interpolated
+    everything per pixel, so this is just texture taps (the only remaining
+    gathers: 2 quad rows per pixel for trilinear) + the basic.frag
+    lighting — same formulas and op order as shade_deferred so the two
+    paths match bit-for-bit. Operates in tile layout (T, N); detiling to
+    (H, W) happens at present time.
+
+    Returns (T, N, 4) f32 linear-color tiles.
+    """
+
+    def g(i):
+        return gbuf[:, i, :]  # (T, N)
+
+    mask = g(17) > 0.0
+    world = jnp.stack([g(0), g(1), g(2)], axis=-1)  # (T, N, 3)
+    normal = jnp.stack([g(3), g(4), g(5)], axis=-1)
+    uv_u, uv_v = g(6), g(7)
+    # Offsets rode through f32 as offset/256 (exact); widths/heights are
+    # small integers in f32.
+    off0 = g(8).astype(jnp.int32) * 256
+    tw0 = g(9).astype(jnp.int32)
+    th0 = g(10).astype(jnp.int32)
+    tw1 = g(12).astype(jnp.int32)
+    th1 = g(13).astype(jnp.int32)
+    tfrac = g(14)[..., None]
+    maj_du, maj_dv = g(15), g(16)
+
+    def trilinear_at(u, v):
+        return _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v)
+
+    if max_anisotropy <= 1:
+        albedo = trilinear_at(uv_u, uv_v)
+    else:
+        n_probes = int(max_anisotropy)
+        acc = 0.0
+        for i in range(n_probes):
+            f = (i + 0.5) / n_probes - 0.5
+            acc = acc + trilinear_at(uv_u + maj_du * f, uv_v + maj_dv * f)
+        albedo = acc / n_probes
+
+    # --- basic.frag lighting (identical to shade_deferred) ----------------
     ldir = jnp.asarray(light_direction, dtype=jnp.float32)
     lcol = jnp.asarray(light_color, dtype=jnp.float32)
     n = normal * _rnorm(normal)

@@ -26,7 +26,7 @@ from tpurast import math3d
 from tpurast.camera import Camera
 from tpurast.config import RendererConfig
 from tpurast.device.scene import DeviceScene
-from tpurast.kernels import geometry, present, raster, shade
+from tpurast.kernels import geometry, present, raster, resolve, shade
 
 log = logging.getLogger("tpurast.renderer")
 
@@ -56,8 +56,14 @@ def render_frame(
     specular_power: float,
     max_anisotropy: int = 1,
     output: str = "srgb_u8",
+    shading: str = "forward",
 ):
     """Pure frame function (jit-traced once per config/scene shape).
+
+    shading="forward": Pallas resolve kernel interpolates attributes
+    per pixel in VMEM (kernels/resolve.py) and XLA only samples + lights.
+    shading="deferred": the original per-pixel fat-gather path — same
+    results, kept for A/B verification.
 
     Returns dict with framebuffer plus profiling scalars (overflow count).
     """
@@ -79,32 +85,8 @@ def render_frame(
         tile_h,
         bin_capacity,
     )
-    depth, fid, dropped_segments = raster.rasterize_visibility(
-        tile_counts,
-        setup_out["setup"],
-        tile_ids,
-        tile_h=tile_h,
-        tile_w=tile_w,
-        tiles_x=tiles_x,
-        tiles_y=tiles_y,
-        clear_depth=clear_depth,
-        segment_headroom=segment_headroom,
-    )
-
     faces = scene["faces"]
-    shade_rows = shade.pack_shade_rows(
-        setup_out["setup"],
-        world[faces],
-        wnormal[faces],
-        scene["uvs"][faces],
-        scene["prim_tex"][scene["face_prim"]],
-        scene["atlas"],
-    )
-    framebuffer = shade.shade_deferred(
-        fid,
-        shade_rows,
-        scene["atlas"]["texels"],
-        camera_position,
+    light_kwargs = dict(
         light_direction=light_direction,
         light_color=light_color,
         ambient_amount=ambient_amount,
@@ -112,6 +94,71 @@ def render_frame(
         clear_color=clear_color,
         max_anisotropy=max_anisotropy,
     )
+    if shading == "forward":
+        plan = raster.plan_segments(
+            tile_counts, tile_ids, segment_headroom=segment_headroom
+        )
+        vis = raster.rasterize_tiles(
+            tile_counts,
+            setup_out["setup"],
+            plan,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            tiles_x=tiles_x,
+            tiles_y=tiles_y,
+            clear_depth=clear_depth,
+        )
+        depth = raster.tiles_to_image(vis[:, 0:1], tile_h, tile_w, tiles_x, tiles_y)
+        dropped_segments = plan["dropped"]
+        attrs = resolve.pack_resolve_attrs(
+            setup_out["setup"],
+            world[faces],
+            wnormal[faces],
+            scene["uvs"][faces],
+            scene["prim_tex"][scene["face_prim"]],
+            scene["atlas"],
+        )
+        gbuf = resolve.resolve_gbuffer(
+            tile_counts,
+            vis,
+            attrs,
+            plan,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            tiles_x=tiles_x,
+            anisotropic=max_anisotropy > 1,
+        )
+        fb_tiles = shade.shade_gbuffer(
+            gbuf, scene["atlas"]["texels"], camera_position, **light_kwargs
+        )
+        framebuffer = raster.tiles_nc_to_image(fb_tiles, tile_h, tile_w, tiles_x, tiles_y)
+    else:
+        depth, fid, dropped_segments = raster.rasterize_visibility(
+            tile_counts,
+            setup_out["setup"],
+            tile_ids,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            tiles_x=tiles_x,
+            tiles_y=tiles_y,
+            clear_depth=clear_depth,
+            segment_headroom=segment_headroom,
+        )
+        shade_rows = shade.pack_shade_rows(
+            setup_out["setup"],
+            world[faces],
+            wnormal[faces],
+            scene["uvs"][faces],
+            scene["prim_tex"][scene["face_prim"]],
+            scene["atlas"],
+        )
+        framebuffer = shade.shade_deferred(
+            fid,
+            shade_rows,
+            scene["atlas"]["texels"],
+            camera_position,
+            **light_kwargs,
+        )
     result = {
         "depth": present.crop_linear(depth, width, height),
         "bin_overflow": jnp.sum(overflow) + dropped_segments,
@@ -225,6 +272,7 @@ class Renderer:
                 specular_power=cfg.specular_power,
                 max_anisotropy=cfg.max_anisotropy,
                 output=self.output,
+                shading=cfg.shading,
             )
         )
 
