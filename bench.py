@@ -97,8 +97,10 @@ def main() -> int:
         sync(renderer._frame_fn(renderer.scene, *u))
 
     # Device frame time, measured in windows of `group` frames bracketed
-    # by one sync each (amortizes the ~30 ms tunnel roundtrip).
-    group = 4
+    # by one sync each (amortizes the ~30 ms tunnel roundtrip to ~2 ms
+    # per frame at 16; the reference's 1.33 ms overlay number is likewise
+    # pure device-side frame time).
+    group = 16
     t0 = time.perf_counter()
     times = []
     frame = None

@@ -50,10 +50,11 @@ class RendererConfig:
     # fixed-function tiling made these implicit). ---
     # Framebuffer tile size: one Pallas program rasterizes one tile.
     # tile_h*tile_w must be a multiple of 128 (the kernel's flat-lane
-    # pixel layout). 32x64 measured fastest at 1080p on v5e (fewer
-    # segment steps than 32x32 at comparable binning precision; see
-    # bench.py --tile-h/--tile-w to re-sweep).
-    tile_h: int = 32
+    # pixel layout). 64x64 measured fastest at 1080p on v5e with the
+    # forward-resolve pipeline (fewer per-segment grid steps; 64x128
+    # exceeds the 16 MB VMEM scoped limit; see bench.py --tile-h/--tile-w
+    # to re-sweep).
+    tile_h: int = 64
     tile_w: int = 64
     # Per-tile triangle bin capacity (static shape). None = auto-size to
     # the scene's face count (never drops triangles). A fixed value bounds
