@@ -25,17 +25,22 @@ import jax
 import jax.numpy as jnp
 
 # Per-face setup row: [E(9), z_clip(3), w_clip(3), face_id, anchor_x,
-# anchor_y, pad...]. Edge functions are ANCHORED: e_i(p) = a_i*(px - X0)
-# + b_i*(py - Y0) + c_i with (X0, Y0) a per-face screen anchor. The
-# adjugate is computed from anchor-translated homogeneous coords, so its
-# magnitudes scale with the triangle's local extent instead of its
-# absolute screen position — without this, f32 cancellation in the cross
-# products sprays phantom coverage off sub-pixel triangles (the
-# fixed-point-edge-function problem, SURVEY §7 hard-part #1).
+# anchor_y, aabb_ymin, aabb_ymax, pad...]. Edge functions are ANCHORED:
+# e_i(p) = a_i*(px - X0) + b_i*(py - Y0) + c_i with (X0, Y0) a per-face
+# screen anchor. The adjugate is computed from anchor-translated
+# homogeneous coords, so its magnitudes scale with the triangle's local
+# extent instead of its absolute screen position — without this, f32
+# cancellation in the cross products sprays phantom coverage off
+# sub-pixel triangles (the fixed-point-edge-function problem, SURVEY §7
+# hard-part #1). aabb_ymin/ymax (screen-pixel y extent, conservative)
+# let the raster kernel restrict per-pixel evaluation to the tile row
+# groups a triangle can actually cover.
 SETUP_WIDTH = 24
 FIELD_FACE_ID = 15
 FIELD_ANCHOR_X = 16
 FIELD_ANCHOR_Y = 17
+FIELD_YMIN = 18
+FIELD_YMAX = 19
 
 
 def transform_vertices(positions, normals, vert_prim, models, normal_mats, view_proj):
@@ -133,7 +138,9 @@ def triangle_setup(clip, faces, n_faces, width, height):
             face_ids.astype(jnp.float32)[:, None],
             ax[:, None],  # field 16: anchor x
             ay[:, None],  # field 17: anchor y
-            jnp.zeros((faces.shape[0], SETUP_WIDTH - 18), dtype=jnp.float32),
+            miny[:, None],  # field 18: screen-space y extent (row-group
+            maxy[:, None],  # field 19: restriction in the raster kernel)
+            jnp.zeros((faces.shape[0], SETUP_WIDTH - 20), dtype=jnp.float32),
         ],
         axis=-1,
     ).astype(jnp.float32)

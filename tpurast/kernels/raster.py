@@ -11,12 +11,21 @@ expressed as a data-dependent Pallas index map over a static grid
 (PrefetchScalarGridSpec: segment tables live in SMEM and drive both the
 kernel and the BlockSpec index maps).
 
-Each segment evaluates its 128 triangles against all N tile pixels in one
-vectorized block: per-triangle setup fields are (1, 128) lane rows (the
-setup is pre-gathered into lane-major (16, G*128) layout), pixels are an
-(N, 1) sublane column, so every edge evaluation is a legal single-axis-
-broadcast multiply producing (N, 128) — no dynamically-indexed scalar
-broadcasts (unsupported by Mosaic) and no minor-dim padding anywhere.
+Each segment walks its triangles in SUB-BLOCKS OF 8 (the f32 sublane
+granularity): per-triangle setup fields are (8, 1) sublane columns
+(setup is pre-gathered row-major, (G*128, SETUP_WIDTH)), pixels are a
+(1, P) lane row, so every edge evaluation is a legal single-axis-
+broadcast multiply producing (8, P). Two levels of work restriction cut
+the evaluated (pixel, triangle) pairs by >10x vs a dense
+(pixels x 128-lane) formulation:
+  * triangle occupancy is 8-granular — a tile bin with c triangles costs
+    ceil(c/8) sub-blocks, not a full 128-lane chunk;
+  * each sub-block only evaluates the tile ROW GROUPS (8 pixel rows)
+    its triangles' screen-y extent can touch (FIELD_YMIN/YMAX), a
+    hierarchical coverage test at 8-row granularity.
+Both loops are dynamic-trip-count fori_loops (data-dependent work,
+static shapes — the XLA-friendly form of a GPU rasterizer's
+variable-length per-tile work queue).
 
 The per-pixel result is the reversed-Z depth plus the winning *face id*
 (visibility buffer; shading happens once per pixel in kernels/shade.py).
@@ -50,8 +59,12 @@ from tpurast.kernels.geometry import (  # noqa: E402
     FIELD_ANCHOR_X,
     FIELD_ANCHOR_Y,
     FIELD_FACE_ID,
+    FIELD_YMAX,
+    FIELD_YMIN,
     SETUP_WIDTH,
 )
+
+SUB = 8  # triangles per sub-block == f32 sublane granularity
 
 
 def _edge_covered(e, a, b):
@@ -67,89 +80,125 @@ def _raster_kernel(
     counts_ref,  # SMEM (T,) int32 — per-tile bin sizes
     seg_tile_ref,  # SMEM (G,) int32 — segment -> tile
     seg_block_ref,  # SMEM (G,) int32 — segment -> chunk index within tile
-    setup_ref,  # VMEM (SETUP_WIDTH, 128) f32 — this segment's lane-major setup
-    out_ref,  # VMEM (1, 2, N) f32: row 0 = depth, row 1 = face id (-1 = none)
+    setup_ref,  # VMEM (CHUNK, SETUP_WIDTH) f32 — this segment's setup rows
+    out_ref,  # VMEM (1, groups, 2, P) f32: plane 0 depth, 1 face id (-1 none)
     *,
     tile_h: int,
     tile_w: int,
     tiles_x: int,
     clear_depth: float,
 ):
+    groups = tile_h // SUB
+    gpx = SUB * tile_w  # pixels per row group
     g = pl.program_id(0)
     t = seg_tile_ref[g]
     j = seg_block_ref[g]
     ty = t // tiles_x
     tx = t % tiles_x
-    n = tile_h * tile_w
-    lin = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    # Global pixel-center coordinates (+0.5: Vulkan/WebGPU sample points).
-    px = (tx * tile_w).astype(jnp.float32) + 0.5 + (lin % tile_w).astype(jnp.float32)
-    py = (ty * tile_h).astype(jnp.float32) + 0.5 + (lin // tile_w).astype(jnp.float32)
 
     @pl.when(j == 0)
     def _init():
-        out_ref[0, 0:1] = jnp.full((1, n), clear_depth, dtype=jnp.float32)
-        out_ref[0, 1:2] = jnp.full((1, n), -1.0, dtype=jnp.float32)
+        out_ref[0, :, 0, :] = jnp.full((groups, gpx), clear_depth, jnp.float32)
+        out_ref[0, :, 1, :] = jnp.full((groups, gpx), -1.0, jnp.float32)
 
     count = jnp.minimum(jnp.maximum(counts_ref[t] - j * CHUNK, 0), CHUNK)
 
+    # Global pixel-center coordinates (+0.5: Vulkan/WebGPU sample points)
+    # of row group 0; group gi adds 8*gi to the y coordinate.
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, gpx), 1)
+    px = (tx * tile_w).astype(jnp.float32) + 0.5 + (lin % tile_w).astype(jnp.float32)
+    py0 = (ty * tile_h).astype(jnp.float32) + 0.5 + (lin // tile_w).astype(jnp.float32)
+    ty0 = ty * tile_h
+
     @pl.when(count > 0)
     def _chunk():
-        def f(i):  # per-triangle field as a (1, C) lane row
-            return setup_ref[i : i + 1, :]
+        def sub_block(b, _):
+            rows = setup_ref[pl.ds(pl.multiple_of(b * SUB, SUB), SUB), :]
 
-        # Anchored evaluation: coordinates relative to the per-face
-        # anchor keep products small (f32 precision for tiny triangles).
-        pxr = px - f(FIELD_ANCHOR_X)  # (N, C)
-        pyr = py - f(FIELD_ANCHOR_Y)
-        e0 = pxr * f(0) + pyr * f(1) + f(2)  # (N, C)
-        e1 = pxr * f(3) + pyr * f(4) + f(5)
-        e2 = pxr * f(6) + pyr * f(7) + f(8)
+            def f(i):  # per-triangle field as an (8, 1) sublane column
+                return rows[:, i : i + 1]
 
-        # Two sign regions: all-negative is the ordinary interior; the
-        # all-positive region only exists for triangles crossing w=0
-        # (external triangles, their far sheet). The positive test is
-        # GATED on an actual w-crossing — for ordinary triangles the
-        # region is analytically empty but float noise on sub-pixel
-        # triangles can make all three e's positive, spraying phantom
-        # dust across the screen.
-        crossing = (f(12) <= 0.0) | (f(13) <= 0.0) | (f(14) <= 0.0)  # (1, C)
-        cov_n = (
-            _edge_covered(e0, f(0), f(1))
-            & _edge_covered(e1, f(3), f(4))
-            & _edge_covered(e2, f(6), f(7))
-        )
-        cov_p = (
-            crossing
-            & _edge_covered(-e0, -f(0), -f(1))
-            & _edge_covered(-e1, -f(3), -f(4))
-            & _edge_covered(-e2, -f(6), -f(7))
-        )
-        esum = e0 + e1 + e2
-        ez = e0 * f(9) + e1 * f(10) + e2 * f(11)
-        ew = e0 * f(12) + e1 * f(13) + e2 * f(14)
-        # Interpolated view depth w(p) = ew/esum must be positive (in
-        # front of the eye); z in [0, 1] is the clip-volume test.
-        w_front = (ew * esum) > 0.0
-        z = ez / jnp.where(ew == 0.0, jnp.float32(1e-30), ew)
-        z_ok = (z >= 0.0) & (z <= 1.0)
+            sub_idx = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0) + b * SUB
+            active = sub_idx < count  # (8, 1)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        active = lane < count
-        covered = (cov_n | cov_p) & w_front & z_ok & active  # (N, C)
+            # Row-group range: the y extent of this sub-block's faces,
+            # conservatively widened one pixel (coverage happens at
+            # centers strictly inside [ymin, ymax]; slack is free at
+            # 8-row granularity).
+            big = jnp.float32(1e9)
+            ymin = jnp.min(jnp.where(active, f(FIELD_YMIN), big))
+            ymax = jnp.max(jnp.where(active, f(FIELD_YMAX), -big))
+            g0 = jnp.clip((jnp.floor(ymin).astype(jnp.int32) - 1 - ty0) // SUB, 0, groups - 1)
+            g1 = jnp.clip((jnp.floor(ymax).astype(jnp.int32) + 1 - ty0) // SUB, -1, groups - 1)
 
-        z_masked = jnp.where(covered, z, jnp.float32(-1.0))
-        z_best = jnp.max(z_masked, axis=1, keepdims=True)  # (N, 1)
-        # Later draw wins depth ties (GreaterEqual): face ids are in draw
-        # order within the bin, so max face id among the best-z lanes.
-        cand = jnp.where(covered & (z_masked == z_best), f(FIELD_FACE_ID), -1.0)
-        fid_best = jnp.max(cand, axis=1, keepdims=True)  # (N, 1)
+            # Two sign regions: all-negative is the ordinary interior;
+            # the all-positive region only exists for triangles crossing
+            # w=0 (external triangles, their far sheet). The positive
+            # test is GATED on an actual w-crossing — for ordinary
+            # triangles the region is analytically empty but float noise
+            # on sub-pixel triangles can make all three e's positive,
+            # spraying phantom dust across the screen.
+            crossing = (f(12) <= 0.0) | (f(13) <= 0.0) | (f(14) <= 0.0)  # (8, 1)
 
-        z_row = z_best.reshape(1, n)
-        fid_row = fid_best.reshape(1, n)
-        passes = (z_row >= out_ref[0, 0:1]) & (fid_row >= 0.0)
-        out_ref[0, 0:1] = jnp.where(passes, z_row, out_ref[0, 0:1])
-        out_ref[0, 1:2] = jnp.where(passes, fid_row, out_ref[0, 1:2])
+            def row_group(gi, _):
+                py = py0 + (gi * SUB).astype(jnp.float32)  # (1, P)
+                # Anchored evaluation: coordinates relative to the
+                # per-face anchor keep products small (f32 precision for
+                # tiny triangles).
+                pxr = px - f(FIELD_ANCHOR_X)  # (8, P)
+                pyr = py - f(FIELD_ANCHOR_Y)
+                e0 = pxr * f(0) + pyr * f(1) + f(2)  # (8, P)
+                e1 = pxr * f(3) + pyr * f(4) + f(5)
+                e2 = pxr * f(6) + pyr * f(7) + f(8)
+
+                cov_n = (
+                    _edge_covered(e0, f(0), f(1))
+                    & _edge_covered(e1, f(3), f(4))
+                    & _edge_covered(e2, f(6), f(7))
+                )
+                cov_p = (
+                    crossing
+                    & _edge_covered(-e0, -f(0), -f(1))
+                    & _edge_covered(-e1, -f(3), -f(4))
+                    & _edge_covered(-e2, -f(6), -f(7))
+                )
+                esum = e0 + e1 + e2
+                ez = e0 * f(9) + e1 * f(10) + e2 * f(11)
+                ew = e0 * f(12) + e1 * f(13) + e2 * f(14)
+                # Interpolated view depth w(p) = ew/esum must be positive
+                # (in front of the eye); z in [0, 1] is the clip-volume
+                # test.
+                w_front = (ew * esum) > 0.0
+                z = ez / jnp.where(ew == 0.0, jnp.float32(1e-30), ew)
+                z_ok = (z >= 0.0) & (z <= 1.0)
+                covered = (cov_n | cov_p) & w_front & z_ok & active  # (8, P)
+
+                z_masked = jnp.where(covered, z, jnp.float32(-1.0))
+                z_best = jnp.max(z_masked, axis=0, keepdims=True)  # (1, P)
+                # Later draw wins depth ties (GreaterEqual): face ids are
+                # in draw order within the bin, so max face id among the
+                # best-z sublanes (and merge-order across sub-blocks,
+                # which are also in draw order).
+                cand = jnp.where(covered & (z_masked == z_best), f(FIELD_FACE_ID), -1.0)
+                fid_best = jnp.max(cand, axis=0, keepdims=True)  # (1, P)
+
+                cur = out_ref[0, gi]  # (2, P)
+                cur_z = cur[0:1, :]
+                passes = (z_best >= cur_z) & (fid_best >= 0.0)
+                out_ref[0, gi] = jnp.concatenate(
+                    [
+                        jnp.where(passes, z_best, cur_z),
+                        jnp.where(passes, fid_best, cur[1:2, :]),
+                    ],
+                    axis=0,
+                )
+                return 0
+
+            jax.lax.fori_loop(g0, g1 + 1, row_group, 0)
+            return 0
+
+        n_sub = (count + SUB - 1) // SUB
+        jax.lax.fori_loop(0, n_sub, sub_block, 0)
 
 
 def build_segments(tile_counts, n_segments: int, max_blocks_per_tile: int):
@@ -238,12 +287,16 @@ def rasterize_tiles(
     (T, 2, N) buffer (row 0 depth, row 1 face id as f32, -1 = none)."""
     t = tiles_x * tiles_y
     n = tile_h * tile_w
-    assert n % 128 == 0, "tile pixel count must be a multiple of the lane width"
+    groups = tile_h // SUB
+    gpx = SUB * tile_w
+    assert tile_h % SUB == 0, "tile height must be a multiple of the sublane width"
+    assert gpx % 128 == 0, "row-group pixel count must be a multiple of the lane width"
     n_segments = plan["n_segments"]
     max_blocks = plan["max_blocks"]
 
-    # Row gather (fast path) then transpose to lane-major (16, G*C).
-    setup_lanes = setup[plan["seg_faces"]].T
+    # Row gather: (G*CHUNK, SETUP_WIDTH), sublane-major (one DMA block of
+    # CHUNK contiguous rows per segment; no transpose needed).
+    setup_rows = setup[plan["seg_faces"]]
 
     kernel = functools.partial(
         _raster_kernel,
@@ -257,32 +310,35 @@ def rasterize_tiles(
         grid=(n_segments,),
         in_specs=[
             pl.BlockSpec(
-                (SETUP_WIDTH, CHUNK),
+                (CHUNK, SETUP_WIDTH),
                 # Tail segments (sentinel block index) all map to block 0:
                 # a repeated block index skips the DMA entirely.
                 lambda g, counts, seg_tile, seg_block: (
-                    0,
                     jnp.where(seg_block[g] >= jnp.int32(max_blocks), 0, g),
+                    0,
                 ),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 2, n),
-                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
+                (1, groups, 2, gpx),
+                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, 2, n), jnp.float32),
+            jax.ShapeDtypeStruct((t, groups, 2, gpx), jnp.float32),
         ],
         interpret=_k.interpret_mode(),
-    )(tile_counts, plan["seg_tile"], plan["seg_block"], setup_lanes)[0]
+    )(tile_counts, plan["seg_tile"], plan["seg_block"], setup_rows)[0]
+    # (T, groups, 2, gpx) -> (T, 2, N): row groups are contiguous pixel
+    # runs (group gi covers flat tile pixels [gi*gpx, (gi+1)*gpx)).
+    return out.transpose(0, 2, 1, 3).reshape(t, 2, n)
 
 
 @functools.partial(

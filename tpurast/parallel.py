@@ -29,10 +29,13 @@ from tpurast.kernels import geometry, present, raster, shade
 def _shift_setup_rows(setup, dy):
     """Shift edge functions to slab-local pixel rows by moving each
     face's evaluation anchor: Y0' = Y0 - dy (kernels/geometry.py anchored
-    edge functions)."""
-    from tpurast.kernels.geometry import FIELD_ANCHOR_Y
+    edge functions). The per-face y extent (row-group restriction)
+    shifts the same way."""
+    from tpurast.kernels.geometry import FIELD_ANCHOR_Y, FIELD_YMAX, FIELD_YMIN
 
-    return setup.at[:, FIELD_ANCHOR_Y].add(-dy)
+    shift = jnp.zeros((setup.shape[1],), setup.dtype)
+    shift = shift.at[jnp.array([FIELD_ANCHOR_Y, FIELD_YMIN, FIELD_YMAX])].set(-dy)
+    return setup + shift[None, :]
 
 
 def render_frame_sharded(
