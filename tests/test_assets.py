@@ -274,3 +274,48 @@ def test_bc4_encode_matches_pillow_decode():
     blocks = encode_bc4(img)
     ref = np.asarray(Image.frombytes("L", (32, 32), blocks, "bcn", (4, "")))
     assert np.abs(ref.astype(int) - img.astype(int)).max() <= 24  # BC4 quantization
+
+
+# ---------------------------------------------------------------------------
+# Embedded fallback texture (resources/textures/missing_diffuse_specular_
+# bc7.ktx2, bound at src/Renderer.zig:551-566)
+# ---------------------------------------------------------------------------
+
+
+def test_fallback_texture_decodes_real_asset(data_dir):
+    """The fallback bound to texture id 0 must be the reference's real
+    embedded BC7 asset, decoded by our own decoder: a 64x64 black/magenta
+    2x2-cell checkerboard with BLACK at the origin, alpha 128, 7 mips
+    (mips 0-1 keep the checker; 2+ are uniform 188 sRGB)."""
+    from tpurast.device.textures import fallback_texture
+
+    res = data_dir.parent / "resources/textures/missing_diffuse_specular_bc7.ktx2"
+    if not res.exists():
+        import pytest
+
+        pytest.skip("resources tree not mounted")
+    mips = fallback_texture(str(data_dir))
+    assert len(mips) == 7 and mips[0].shape == (64, 64, 4)
+    # Reconstruct sRGB u8 from the linear atlas staging and compare.
+    lin = mips[0]
+    srgb = np.where(
+        lin <= 0.0031308, lin * 12.92, 1.055 * np.power(lin, 1 / 2.4) - 0.055
+    )
+    u8 = np.round(srgb[..., :3] * 255).astype(np.uint8)
+    y, x = np.mgrid[0:64, 0:64]
+    checker = (((x // 2 + y // 2) % 2) == 1).astype(np.uint8) * 255
+    np.testing.assert_array_equal(u8[..., 0], checker)  # R
+    np.testing.assert_array_equal(u8[..., 1], 0 * checker)  # G
+    np.testing.assert_array_equal(u8[..., 2], checker)  # B
+    np.testing.assert_array_equal(
+        np.round(lin[..., 3] * 255).astype(np.uint8), 128
+    )  # linear alpha = specular mask
+    # Coarse mips are uniform magenta-gray 188 sRGB (the linear average
+    # of the checker as the asset's own mipgen left it; G is 0 or 1
+    # depending on each block's BC7 endpoint quantization).
+    for m in mips[2:]:
+        s = np.where(m <= 0.0031308, m * 12.92, 1.055 * np.power(m, 1 / 2.4) - 0.055)
+        u = np.round(s[..., :3] * 255).astype(np.uint8)
+        np.testing.assert_array_equal(u[..., 0], 188)
+        np.testing.assert_array_equal(u[..., 2], 188)
+        assert u[..., 1].max() <= 1

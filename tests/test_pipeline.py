@@ -45,8 +45,10 @@ def test_render_background_is_clear_color(renderer):
 
 
 def test_render_covers_scene(renderer):
+    from tpurast.present import interleave
+
     res = renderer.render(demo_camera())
-    out = np.asarray(res["color"])
+    out = interleave(np.asarray(res["color"]))
     covered = (out[..., :3] != MAGENTA).any(-1)
     assert 0.3 < covered.mean() < 0.9  # floor+wall fill the lower half
     assert int(res["bin_overflow"]) == 0
@@ -119,7 +121,7 @@ def test_hdr_scene_renders(data_dir):
                  output="linear_f32")
     cam = Camera.from_target([0.6, 0.4, -2.0], [0.3, 1.5, 0.0])
     res = r.render(cam)
-    lin = np.asarray(res["color"])
+    lin = np.moveaxis(np.asarray(res["color"]), 0, -1)  # planar -> (H, W, 4)
     assert int(res["bin_overflow"]) == 0
     # True HDR radiance survives to the linear framebuffer (>1.0).
     assert lin[..., :3].max() > 10.0

@@ -33,7 +33,7 @@ def test_sharded_matches_single_device(demo_scene):
     fn = make_sharded_renderer(scene_dev, cfg, mesh, 160, 96)
     view_proj, cam_pos = single.frame_uniforms(cam)
     out = fn(scene_dev, view_proj, cam_pos)
-    color = np.asarray(out["color"])
+    color = np.moveaxis(np.asarray(out["color"]), 0, -1)  # planar -> HWC
     assert int(out["bin_overflow"]) == 0
     assert color.shape == ref.shape
 

@@ -149,7 +149,7 @@ def main() -> int:
             scene["prim_tex"][scene["face_prim"]], scene["atlas"])
         gbuf = kresolve.resolve_gbuffer(tile_counts, vis, attrs, plan,
                                         tile_h=th, tile_w=tw, tiles_x=tiles_x)
-        return {"x": gbuf[:, 17, :]}
+        return {"x": gbuf[16]}
 
     def stage_shade_tiles(scene, view_proj, cam):
         s, world, wnormal, tile_counts, plan, vis = _common(scene, view_proj)
@@ -166,7 +166,7 @@ def main() -> int:
                                  specular_power=cfg.specular_power,
                                  clear_color=cfg.clear_color,
                                  max_anisotropy=cfg.max_anisotropy)
-        return {"x": fb[:, :, 0]}
+        return {"x": fb}
 
     results = {}
     prev = 0.0

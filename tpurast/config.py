@@ -49,13 +49,12 @@ class RendererConfig:
     # --- TPU pipeline tunables (no reference analog; the GPU rasterizer's
     # fixed-function tiling made these implicit). ---
     # Framebuffer tile size: one Pallas program rasterizes one tile.
-    # tile_h*tile_w must be a multiple of 128 (the kernel's flat-lane
-    # pixel layout). 64x64 measured fastest at 1080p on v5e with the
-    # forward-resolve pipeline (fewer per-segment grid steps; 64x128
-    # exceeds the 16 MB VMEM scoped limit; see bench.py --tile-h/--tile-w
-    # to re-sweep).
-    tile_h: int = 64
-    tile_w: int = 64
+    # tile_w must be a multiple of 128 (tiles are written directly as
+    # (C, tile_h, tile_w) framebuffer rectangles, lane dim = tile_w) and
+    # tile_h a multiple of 8 (row-group granularity). 32x128 keeps the
+    # same 4096 px/tile as round-1's 64x64 with full lane occupancy.
+    tile_h: int = 32
+    tile_w: int = 128
     # Per-tile triangle bin capacity (static shape). None = auto-size to
     # the scene's face count (never drops triangles). A fixed value bounds
     # the per-tile pre-gather memory; overflow is counted and reported.
@@ -64,6 +63,13 @@ class RendererConfig:
     # bins exceed 128 triangles). Each segment is a (tile, 128-triangle
     # chunk) grid step; see kernels/raster.py.
     segment_headroom: int = 8192
+
+    # Binning algorithm: "auto" picks per target size — the chunked
+    # rank-by-cumsum scan is O(tiles x faces) but sort-free (wins for
+    # ordinary scenes); "pairs" emits (tile, face) pairs and 2-key-sorts
+    # them (O(pairs log pairs), wins for 4K instanced scenes where
+    # tiles x faces explodes). See kernels/geometry.py.
+    binning: str = "auto"
 
     # Atlas texel dtype. "float16" (default) halves the per-row gather
     # cost on v5e (sub-4-byte rows move 2-3x faster through the gather

@@ -101,7 +101,7 @@ def build_scene(
 
     # Texture registry: id 0 is the fallback; others keyed by URI.
     uri_to_id: dict[str, int] = {}
-    pyramids: list[list[np.ndarray]] = [tex_mod.fallback_texture()]
+    pyramids: list[list[np.ndarray]] = [tex_mod.fallback_texture(data_dir)]
     texture_uris = ["builtin://fallback-texture"]  # src/Renderer.zig:551-557
 
     def texture_id(uri: str | None) -> int:

@@ -109,13 +109,30 @@ def mip_chain(base: np.ndarray) -> list[np.ndarray]:
     return mips
 
 
-def fallback_texture() -> list[np.ndarray]:
-    """64x64 magenta/black checkerboard (2x2-texel cells), alpha 128 —
-    matches the decoded content of the reference's embedded
-    missing_diffuse_specular_bc7.ktx2 (resources/textures.zig:1, bound at
-    src/Renderer.zig:551-566), generated procedurally."""
+def fallback_texture(data_dir=None) -> list[np.ndarray]:
+    """The reference's embedded fallback texture: 64x64 BC7-sRGB
+    black/magenta checkerboard (2x2-texel cells, BLACK at the origin),
+    alpha 128 (half-specular mask), 7 shipped mips
+    (resources/textures.zig:1, bound at src/Renderer.zig:551-566).
+
+    Decoded from the real resources/textures/missing_diffuse_specular_
+    bc7.ktx2 next to the data dir (the analog of the reference's
+    @embedFile); falls back to an equivalent procedural pattern when the
+    resources tree isn't mounted. tests/test_assets.py pins the decode
+    against the procedural reconstruction."""
+    if data_dir is not None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(os.fspath(data_dir))),
+            "resources",
+            "textures",
+            "missing_diffuse_specular_bc7.ktx2",
+        )
+        if os.path.exists(path):
+            return decode_ktx2_texture(ktx2.load_ktx2(path))
     y, x = np.mgrid[0:64, 0:64]
-    checker = ((x // 2 + y // 2) % 2 == 0).astype(np.float32)
+    checker = ((x // 2 + y // 2) % 2 == 1).astype(np.float32)  # black at (0,0)
     base = np.zeros((64, 64, 4), dtype=np.float32)
     base[..., 0] = checker  # magenta squares (sRGB 255 -> linear 1.0)
     base[..., 2] = checker

@@ -18,18 +18,23 @@ def linear_to_srgb(c):
     return jnp.where(c <= 0.0031308, c * 12.92, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
 
 
-def encode_srgb_u8(framebuffer, width: int, height: int):
-    """(Hp, Wp, 4) linear f32 -> (height, width, 4) sRGB-encoded u8,
-    cropping tile padding. Alpha is linear (pass-through)."""
-    fb = framebuffer[:height, :width]
-    rgb = linear_to_srgb(fb[..., :3])
-    a = jnp.clip(fb[..., 3:4], 0.0, 1.0)
-    out = jnp.concatenate([rgb, a], axis=-1)
+def encode_srgb_u8(planes, width: int, height: int):
+    """(4, Hp, Wp) linear f32 planes -> (4, height, width) sRGB u8
+    planes, cropping tile padding. Alpha is linear (pass-through).
+
+    Channel-PLANAR throughout: a (H, W, 4) device array tiles its minor
+    dim 4 onto 128 lanes (32x pad); the host-side presenter interleaves
+    to (H, W, 4) after readback (tpurast/present.py) — the TPU analog of
+    the swapchain's surface-format swizzle."""
+    fb = planes[:, :height, :width]
+    rgb = linear_to_srgb(fb[:3])
+    a = jnp.clip(fb[3:4], 0.0, 1.0)
+    out = jnp.concatenate([rgb, a], axis=0)
     return jnp.round(out * 255.0).astype(jnp.uint8)
 
 
 def crop_linear(framebuffer, width: int, height: int):
-    """(Hp, Wp, C) -> (height, width, C) linear f32 (RGBA16Float-surface
-    analog: the reference's top surface-format preference is RGBA16Float,
-    src/Renderer.zig:359-363)."""
-    return framebuffer[:height, :width]
+    """(..., Hp, Wp) -> (..., height, width) linear f32 (RGBA16Float-
+    surface analog: the reference's top surface-format preference is
+    RGBA16Float, src/Renderer.zig:359-363)."""
+    return framebuffer[..., :height, :width]

@@ -81,14 +81,13 @@ def _raster_kernel(
     seg_tile_ref,  # SMEM (G,) int32 — segment -> tile
     seg_block_ref,  # SMEM (G,) int32 — segment -> chunk index within tile
     setup_ref,  # VMEM (CHUNK, SETUP_WIDTH) f32 — this segment's setup rows
-    out_ref,  # VMEM (1, groups, 2, P) f32: plane 0 depth, 1 face id (-1 none)
+    out_ref,  # VMEM (2, tile_h, tile_w) f32: plane 0 depth, 1 face id (-1 none)
     *,
     tile_h: int,
     tile_w: int,
     tiles_x: int,
     clear_depth: float,
 ):
-    groups = tile_h // SUB
     gpx = SUB * tile_w  # pixels per row group
     g = pl.program_id(0)
     t = seg_tile_ref[g]
@@ -98,13 +97,15 @@ def _raster_kernel(
 
     @pl.when(j == 0)
     def _init():
-        out_ref[0, :, 0, :] = jnp.full((groups, gpx), clear_depth, jnp.float32)
-        out_ref[0, :, 1, :] = jnp.full((groups, gpx), -1.0, jnp.float32)
+        out_ref[0] = jnp.full((tile_h, tile_w), clear_depth, jnp.float32)
+        out_ref[1] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
 
     count = jnp.minimum(jnp.maximum(counts_ref[t] - j * CHUNK, 0), CHUNK)
 
     # Global pixel-center coordinates (+0.5: Vulkan/WebGPU sample points)
-    # of row group 0; group gi adds 8*gi to the y coordinate.
+    # of row group 0; group gi adds 8*gi to the y coordinate. Pixels are
+    # processed as (1, 8*tile_w) linear rows (triangles on sublanes) and
+    # reshaped to (8, tile_w) only at merge time.
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, gpx), 1)
     px = (tx * tile_w).astype(jnp.float32) + 0.5 + (lin % tile_w).astype(jnp.float32)
     py0 = (ty * tile_h).astype(jnp.float32) + 0.5 + (lin // tile_w).astype(jnp.float32)
@@ -126,6 +127,7 @@ def _raster_kernel(
             # centers strictly inside [ymin, ymax]; slack is free at
             # 8-row granularity).
             big = jnp.float32(1e9)
+            groups = tile_h // SUB
             ymin = jnp.min(jnp.where(active, f(FIELD_YMIN), big))
             ymax = jnp.max(jnp.where(active, f(FIELD_YMAX), -big))
             g0 = jnp.clip((jnp.floor(ymin).astype(jnp.int32) - 1 - ty0) // SUB, 0, groups - 1)
@@ -182,13 +184,18 @@ def _raster_kernel(
                 cand = jnp.where(covered & (z_masked == z_best), f(FIELD_FACE_ID), -1.0)
                 fid_best = jnp.max(cand, axis=0, keepdims=True)  # (1, P)
 
-                cur = out_ref[0, gi]  # (2, P)
-                cur_z = cur[0:1, :]
-                passes = (z_best >= cur_z) & (fid_best >= 0.0)
-                out_ref[0, gi] = jnp.concatenate(
+                # Merge into the (tile_h, tile_w) framebuffer block: the
+                # (1, 8*tw) linear row group IS rows [8gi, 8gi+8) of the
+                # tile in row-major order — reshape, compare, store.
+                z2 = z_best.reshape(SUB, tile_w)
+                f2 = fid_best.reshape(SUB, tile_w)
+                r0 = pl.multiple_of(gi * SUB, SUB)
+                cur = out_ref[:, pl.ds(r0, SUB), :]  # (2, 8, tw)
+                passes = (z2 >= cur[0]) & (f2 >= 0.0)
+                out_ref[:, pl.ds(r0, SUB), :] = jnp.stack(
                     [
-                        jnp.where(passes, z_best, cur_z),
-                        jnp.where(passes, fid_best, cur[1:2, :]),
+                        jnp.where(passes, z2, cur[0]),
+                        jnp.where(passes, f2, cur[1]),
                     ],
                     axis=0,
                 )
@@ -243,6 +250,79 @@ def build_segments(tile_counts, n_segments: int, max_blocks_per_tile: int):
     return seg_tile, seg_block, jnp.maximum(total - n_segments, 0)
 
 
+# Sentinel block index for tail segments: no init, no work. Small enough
+# that sentinel * CHUNK stays far from int32 overflow, larger than any
+# real per-tile block count (2^23 blocks = 2^30 triangles in one tile).
+SENTINEL_BLOCK = 1 << 23
+
+
+def build_segments_unbounded(tile_counts, n_segments: int):
+    """Segment tables from UNCLAMPED bin counts (pair-sort binning).
+
+    Unlike build_segments (whose extra-block enumeration is a dense
+    (T, max_blocks) matrix — fine when capacity K bounds max_blocks,
+    unusable when counts are unbounded), extra blocks are laid out by a
+    scatter of T markers + a running max: O(T + n_segments).
+
+    Layout matches build_segments: segments [0, T) are the reserved
+    per-tile block-0 slots (every tile clears unconditionally even if
+    truncation drops extras); extras follow in tile order.
+    Returns (seg_tile, seg_block, n_dropped).
+    """
+    t = tile_counts.shape[0]
+    assert n_segments >= t
+    extra = jnp.maximum(-(-tile_counts // CHUNK) - 1, 0)  # blocks beyond 0
+    epos = t + jnp.cumsum(extra) - extra  # first extra slot per tile
+    total = t + jnp.sum(extra)
+
+    tidx = jnp.arange(t, dtype=jnp.int32)
+    marker = (
+        jnp.zeros(n_segments, dtype=jnp.int32)
+        .at[jnp.where(extra > 0, epos, n_segments)]
+        .max(tidx + 1, mode="drop")
+    )
+    etile = jax.lax.associative_scan(jnp.maximum, marker) - 1  # (G,) tile or -1
+    slot = jnp.arange(n_segments, dtype=jnp.int32)
+    in_prefix = slot < t
+    etile_safe = jnp.maximum(etile, 0)
+    seg_tile = jnp.where(in_prefix, slot, etile_safe)
+    seg_block = jnp.where(in_prefix, 0, slot - epos[etile_safe] + 1)
+    live = in_prefix | ((slot < total) & (etile >= 0))
+    seg_tile = jnp.where(live, seg_tile, 0)
+    seg_block = jnp.where(live, seg_block, jnp.int32(SENTINEL_BLOCK))
+    return seg_tile, seg_block, jnp.maximum(total - n_segments, 0)
+
+
+def plan_segments_pairs(bins, *, segment_headroom: int):
+    """Segment schedule from pair-sort binning (geometry.bin_pairs).
+
+    Per-segment face ids come straight from the sorted pair list —
+    no (T, K) padded bin matrix is ever materialized, so per-tile
+    counts are unbounded (no bin_capacity clamp, no bin overflow).
+    Returns the same plan dict as plan_segments.
+    """
+    counts = bins["counts"]
+    offsets = bins["offsets"]
+    pair_faces = bins["pair_faces"]
+    t = counts.shape[0]
+    n_segments = t + segment_headroom
+    seg_tile, seg_block, dropped = build_segments_unbounded(counts, n_segments)
+
+    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+    block = jnp.minimum(seg_block, SENTINEL_BLOCK)[:, None]
+    slot = offsets[seg_tile][:, None] + block * CHUNK + lane  # (G, C)
+    slot = jnp.clip(slot, 0, pair_faces.shape[0] - 1)
+    seg_faces = pair_faces[slot.reshape(-1)]
+    return {
+        "seg_tile": seg_tile,
+        "seg_block": seg_block,
+        "seg_faces": seg_faces,
+        "n_segments": n_segments,
+        "max_blocks": SENTINEL_BLOCK,
+        "dropped": dropped,
+    }
+
+
 def plan_segments(tile_counts, tile_ids, *, segment_headroom: int):
     """Build the segment schedule shared by the raster and resolve passes.
 
@@ -283,14 +363,16 @@ def rasterize_tiles(
     tiles_y: int,
     clear_depth: float = 0.0,
 ):
-    """Run the visibility kernel over all tiles; returns the raw tiled
-    (T, 2, N) buffer (row 0 depth, row 1 face id as f32, -1 = none)."""
-    t = tiles_x * tiles_y
-    n = tile_h * tile_w
-    groups = tile_h // SUB
-    gpx = SUB * tile_w
+    """Run the visibility kernel over all tiles.
+
+    Returns the visibility buffer DIRECTLY in framebuffer layout:
+    (2, H, W) f32 with plane 0 = depth, plane 1 = face id (-1 = none),
+    H = tiles_y*tile_h, W = tiles_x*tile_w. Each segment's output block
+    is its tile's (2, tile_h, tile_w) framebuffer rectangle — no detile
+    transpose ever happens (it cost ~4 ms/frame at 1080p as XLA ops).
+    """
     assert tile_h % SUB == 0, "tile height must be a multiple of the sublane width"
-    assert gpx % 128 == 0, "row-group pixel count must be a multiple of the lane width"
+    assert tile_w % 128 == 0, "tile width must be a multiple of the lane width"
     n_segments = plan["n_segments"]
     max_blocks = plan["max_blocks"]
 
@@ -322,23 +404,24 @@ def rasterize_tiles(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, groups, 2, gpx),
-                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0, 0),
+                (2, tile_h, tile_w),
+                lambda g, counts, seg_tile, seg_block: (
+                    0,
+                    seg_tile[g] // tiles_x,
+                    seg_tile[g] % tiles_x,
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, groups, 2, gpx), jnp.float32),
+            jax.ShapeDtypeStruct((2, tiles_y * tile_h, tiles_x * tile_w), jnp.float32),
         ],
         interpret=_k.interpret_mode(),
     )(tile_counts, plan["seg_tile"], plan["seg_block"], setup_rows)[0]
-    # (T, groups, 2, gpx) -> (T, 2, N): row groups are contiguous pixel
-    # runs (group gi covers flat tile pixels [gi*gpx, (gi+1)*gpx)).
-    return out.transpose(0, 2, 1, 3).reshape(t, 2, n)
 
 
 @functools.partial(
@@ -365,7 +448,7 @@ def rasterize_visibility(
     was too small for this frame and triangles were not rasterized.
     """
     plan = plan_segments(tile_counts, tile_ids, segment_headroom=segment_headroom)
-    out = rasterize_tiles(
+    vis = rasterize_tiles(
         tile_counts,
         setup,
         plan,
@@ -375,34 +458,4 @@ def rasterize_visibility(
         tiles_y=tiles_y,
         clear_depth=clear_depth,
     )
-    depth = out[:, 0:1]
-    fid = out[:, 1:2].astype(jnp.int32)
-    return (
-        tiles_to_image(depth, tile_h, tile_w, tiles_x, tiles_y),
-        tiles_to_image(fid, tile_h, tile_w, tiles_x, tiles_y),
-        plan["dropped"],
-    )
-
-
-def tiles_to_image(flat, tile_h, tile_w, tiles_x, tiles_y):
-    """(T, C, tile_h*tile_w) -> (H, W) or (H, W, C) framebuffer layout."""
-    c = flat.shape[1]
-    img = (
-        flat.reshape(tiles_y, tiles_x, c, tile_h, tile_w)
-        .transpose(0, 3, 1, 4, 2)
-        .reshape(tiles_y * tile_h, tiles_x * tile_w, c)
-    )
-    return img[:, :, 0] if c == 1 else img
-
-
-def tiles_nc_to_image(x, tile_h, tile_w, tiles_x, tiles_y):
-    """(T, tile_h*tile_w, C) -> (H, W, C) framebuffer layout."""
-    c = x.shape[2]
-    return (
-        x.reshape(tiles_y, tiles_x, tile_h, tile_w, c)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(tiles_y * tile_h, tiles_x * tile_w, c)
-    )
-
-
-_tiles_to_image = tiles_to_image  # back-compat alias
+    return vis[0], vis[1].astype(jnp.int32), plan["dropped"]

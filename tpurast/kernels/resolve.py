@@ -2,24 +2,29 @@
 
 The deferred shade path (kernels/shade.py) gathers a 104-float row per
 PIXEL (2M rows at 1080p) and runs the interpolation math over the
-materialized (H, W, 104) tensor — the dominant frame cost on v5e. This
-kernel moves interpolation into a second Pallas sweep over the SAME
-segment schedule as the raster pass (kernels/raster.py), where attribute
-rows are fetched per SEGMENT (O(binned pairs), ~3 orders of magnitude
-fewer rows):
+materialized rows — the dominant frame cost on v5e. This kernel moves
+interpolation into a second Pallas sweep over the SAME segment schedule
+as the raster pass (kernels/raster.py), where attribute rows are fetched
+per SEGMENT (O(binned pairs), ~3 orders of magnitude fewer rows):
 
-  1. Per segment, a match matrix m[c, p] = (face_id[lane c] == fid[pixel p])
-     marks which pixels this chunk's triangles won — ONE vector compare.
+  1. Per segment, a match matrix m[r, c, x] = (face_id[lane c] ==
+     fid[pixel r, x]) marks which pixels this chunk's triangles won —
+     ONE vector compare over (tile_h, CHUNK, tile_w).
   2. The winning triangle's ~56 attribute scalars are selected per pixel
-     with ONE MXU matmul  sel = ATTR (A, C) @ m (C, N).  With
-     Precision.HIGHEST (3-way bf16 split = full 24-bit mantissa) and m
-     exactly {0, 1}, the selection is BIT-EXACT — verified on v5e —
-     which matters because atlas offsets ride through it.
+     with ONE MXU contraction  sel = ATTR (A, C) . m (th, C, tw)  over
+     C. With Precision.HIGHEST (3-way bf16 split = full 24-bit mantissa)
+     and m exactly {0, 1}, the selection is BIT-EXACT — verified on
+     v5e — which matters because atlas offsets ride through it.
   3. Perspective-correct barycentrics, world/normal/UV interpolation,
      analytic UV screen derivatives, LOD and mip selection all run on
-     lane-major (1, N) rows in VMEM, writing a compact 18-float/pixel
-     G-buffer. XLA then only does the 2 texel-quad gathers + lighting
-     (shade.shade_gbuffer).
+     (tile_h, tile_w) pixel planes in VMEM, writing a compact
+     17-float/pixel G-buffer. XLA then only does the texel-row gather +
+     lighting (shade.shade_gbuffer).
+
+All blocks are FRAMEBUFFER rectangles: the visibility input and the
+G-buffer output are (C, H, W) arrays and each segment addresses its
+tile's (C, tile_h, tile_w) window — pixels stay in image layout end to
+end, so no detile transposes exist anywhere in the frame.
 
 Texture info is carried as f32: mip offsets as offset/256 (exact — the
 atlas aligns mip allocations to 256 quad rows, device/textures.py), mip
@@ -40,10 +45,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpurast import kernels as _k
-from tpurast.kernels.geometry import SETUP_WIDTH
 from tpurast.kernels.raster import CHUNK
 
-# Attribute-table row layout (A_IN, per face), lane-major in the kernel:
+# Attribute-table row layout (A_IN, per face), selected per pixel:
 #   0..8   edge matrix E (a0,b0,c0, a1,b1,c1, a2,b2,c2)
 #   9,10   screen anchor x, y
 #   11     face id
@@ -56,10 +60,12 @@ from tpurast.kernels.raster import CHUNK
 #   55     constant 1.0 (selects into the per-pixel "matched" flag)
 A_IN = 56
 
-# G-buffer row layout (A_OUT, per pixel):
+# G-buffer plane layout (A_OUT planes, per pixel):
 #   0..2 world | 3..5 normal | 6,7 u,v | 8 off0/256 | 9,10 tw0,th0
-#   11 off1/256 | 12,13 tw1,th1 | 14 mip frac | 15,16 aniso major du,dv
-#   17 matched flag | 18..23 pad
+#   11,12 tw1,th1 | 13 mip frac | 14,15 aniso major du,dv
+#   16 matched flag | 17..23 pad
+# (No off1: the parent-mip texels ride the own-mip atlas row,
+# device/textures.py, so only the parent DIMENSIONS are needed.)
 A_OUT = 24
 MAX_MIPS = 16
 
@@ -101,9 +107,9 @@ def _resolve_kernel(
     counts_ref,  # SMEM (T,) int32
     seg_tile_ref,  # SMEM (G,) int32
     seg_block_ref,  # SMEM (G,) int32
-    attr_ref,  # VMEM (A_IN, CHUNK) f32 — this segment's attribute lanes
-    vis_ref,  # VMEM (1, 2, N) f32 — raster output (depth, face id)
-    out_ref,  # VMEM (1, A_OUT, N) f32 — G-buffer tile
+    attr_ref,  # VMEM (CHUNK, A_IN) f32 — this segment's attribute rows
+    vis_ref,  # VMEM (2, th, tw) f32 — raster output (depth, face id)
+    out_ref,  # VMEM (A_OUT, th, tw) f32 — G-buffer tile
     *,
     tile_h: int,
     tile_w: int,
@@ -115,7 +121,6 @@ def _resolve_kernel(
     j = seg_block_ref[g]
     ty = t // tiles_x
     tx = t % tiles_x
-    n = tile_h * tile_w
 
     @pl.when(j == 0)
     def _init():
@@ -125,28 +130,30 @@ def _resolve_kernel(
 
     @pl.when(count > 0)
     def _work():
-        fid = vis_ref[0, 1:2, :]  # (1, N)
-        lane_fid = attr_ref[11:12, :].reshape(CHUNK, 1)
-        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        fid = vis_ref[1]  # (th, tw)
+        lane_fid = attr_ref[:, 11].reshape(1, CHUNK, 1)
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK, 1), 1)
         # Padded lanes clamp to the bin's last slot (duplicate face ids) —
         # they MUST be masked or a winner in the last real lane selects 2x.
-        m = ((lane_fid == fid) & (lane_idx < count)).astype(jnp.float32)  # (C, N)
+        # m: (th, CHUNK, tw) — both operands broadcast along minor dims.
+        m = ((lane_fid == fid[:, None, :]) & (lane_idx < count)).astype(jnp.float32)
         sel = jax.lax.dot_general(
-            attr_ref[...],
-            m,
-            (((1,), (0,)), ((), ())),
+            attr_ref[...],  # (CHUNK, A_IN)
+            m,  # (th, CHUNK, tw)
+            (((0,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,  # bit-exact selection
             preferred_element_type=jnp.float32,
-        )  # (A_IN, N)
+        )  # (A_IN, th, tw)
 
         def s(i):
-            return sel[i : i + 1, :]
+            return sel[i]  # (th, tw)
 
         matched = s(55)
 
-        lin = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        px = (tx * tile_w).astype(jnp.float32) + 0.5 + (lin % tile_w).astype(jnp.float32) - s(9)
-        py = (ty * tile_h).astype(jnp.float32) + 0.5 + (lin // tile_w).astype(jnp.float32) - s(10)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tile_w), 1)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (tile_h, 1), 0)
+        px = (tx * tile_w).astype(jnp.float32) + 0.5 + col.astype(jnp.float32) - s(9)
+        py = (ty * tile_h).astype(jnp.float32) + 0.5 + rowi.astype(jnp.float32) - s(10)
         e0 = s(0) * px + s(1) * py + s(2)
         e1 = s(3) * px + s(4) * py + s(5)
         e2 = s(6) * px + s(7) * py + s(8)
@@ -205,15 +212,15 @@ def _resolve_kernel(
         # Mip select: unrolled masked accumulation over the 16 levels
         # (no dynamic minor-dim indexing on TPU). Level dims derive from
         # mip 0 by exact power-of-two scaling: max(floor(w0 * 2^-l), 1).
+        # Only the level-0 tap needs an atlas offset — parent-mip texels
+        # ride the same row (device/textures.py) — so no off1.
         off0 = jnp.zeros_like(l0)
-        off1 = jnp.zeros_like(l0)
         pow0 = jnp.zeros_like(l0)
         pow1 = jnp.zeros_like(l0)
         for mi in range(MAX_MIPS):
             lvl = jnp.float32(mi)
             pw = jnp.float32(2.0 ** (-mi))
             off0 = off0 + jnp.where(l0 == lvl, s(36 + mi), 0.0)
-            off1 = off1 + jnp.where(l1 == lvl, s(36 + mi), 0.0)
             pow0 = pow0 + jnp.where(l0 == lvl, pw, 0.0)
             pow1 = pow1 + jnp.where(l1 == lvl, pw, 0.0)
         tw0 = jnp.maximum(jnp.floor(w0 * pow0), 1.0)
@@ -221,25 +228,25 @@ def _resolve_kernel(
         tw1 = jnp.maximum(jnp.floor(w0 * pow1), 1.0)
         th1 = jnp.maximum(jnp.floor(h0 * pow1), 1.0)
 
-        new = jnp.concatenate(
+        new = jnp.stack(
             [
                 wx, wy, wz,
                 nx_, ny_, nz_,
                 uv_u, uv_v,
                 off0, tw0, th0,
-                off1, tw1, th1,
+                tw1, th1,
                 tfrac, maj_du, maj_dv,
                 matched,
-                jnp.zeros((A_OUT - 18, n), dtype=jnp.float32),
-            ],
+            ]
+            + [jnp.zeros_like(matched)] * (A_OUT - 17),
             axis=0,
-        )  # (A_OUT, N)
-        out_ref[0] = jnp.where(matched > 0.0, new, out_ref[0])
+        )  # (A_OUT, th, tw)
+        out_ref[...] = jnp.where(matched > 0.0, new, out_ref[...])
 
 
 def resolve_gbuffer(
     tile_counts,  # (T,) int32
-    vis_tiles,  # (T, 2, N) f32 raster output
+    vis,  # (2, H, W) f32 raster output (framebuffer layout)
     attrs,  # (F, A_IN) f32 from pack_resolve_attrs
     plan,  # from raster.plan_segments (MUST be the raster pass's plan)
     *,
@@ -248,11 +255,11 @@ def resolve_gbuffer(
     tiles_x: int,
     anisotropic: bool = False,
 ):
-    """Second segment sweep: per-pixel G-buffer (T, A_OUT, N)."""
-    t, _, n = vis_tiles.shape
+    """Second segment sweep: per-pixel G-buffer (A_OUT, H, W)."""
+    _, h, w = vis.shape
     n_segments = plan["n_segments"]
     max_blocks = plan["max_blocks"]
-    attr_lanes = attrs[plan["seg_faces"]].T  # (A_IN, G*C) lane-major
+    attr_rows = attrs[plan["seg_faces"]]  # (G*C, A_IN) row-major
 
     kernel = functools.partial(
         _resolve_kernel,
@@ -266,23 +273,31 @@ def resolve_gbuffer(
         grid=(n_segments,),
         in_specs=[
             pl.BlockSpec(
-                (A_IN, CHUNK),
+                (CHUNK, A_IN),
                 lambda g, counts, seg_tile, seg_block: (
-                    0,
                     jnp.where(seg_block[g] >= jnp.int32(max_blocks), 0, g),
+                    0,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 2, n),
-                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
+                (2, tile_h, tile_w),
+                lambda g, counts, seg_tile, seg_block: (
+                    0,
+                    seg_tile[g] // tiles_x,
+                    seg_tile[g] % tiles_x,
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, A_OUT, n),
-                lambda g, counts, seg_tile, seg_block: (seg_tile[g], 0, 0),
+                (A_OUT, tile_h, tile_w),
+                lambda g, counts, seg_tile, seg_block: (
+                    0,
+                    seg_tile[g] // tiles_x,
+                    seg_tile[g] % tiles_x,
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -290,6 +305,6 @@ def resolve_gbuffer(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((t, A_OUT, n), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((A_OUT, h, w), jnp.float32)],
         interpret=_k.interpret_mode(),
-    )(tile_counts, plan["seg_tile"], plan["seg_block"], attr_lanes, vis_tiles)[0]
+    )(tile_counts, plan["seg_tile"], plan["seg_block"], attr_rows, vis)[0]

@@ -5,7 +5,7 @@ covered pixel exactly once:
 
   1. ONE fat-row gather per pixel fetches everything about the winning
      triangle: edge setup, per-vertex world position / normal / UV, and
-     texture id, packed into a 48-float row (XLA:TPU gather cost is per
+     texture id, packed into a 104-float row (XLA:TPU gather cost is per
      ROW, nearly independent of row width — four narrow gathers cost 4x
      one fat gather on v5e).
   2. Homogeneous edge functions are re-evaluated at the pixel; weights
@@ -21,8 +21,12 @@ covered pixel exactly once:
   5. Lighting: ambient + Lambert diffuse + Phong specular with the
      specular mask in albedo alpha — basic.frag:15-38, same constants.
 
-Everything is jnp over the full framebuffer: gathers + fused elementwise
-math, HBM-bandwidth bound.
+LAYOUT RULE (v5e): every elementwise array keeps the PIXEL axis minor.
+Channel-minor shapes like (..., 4) tile as (sublane, lane=4->128) — a
+32x pad in both VMEM traffic and VPU work (measured: the whole shading
+tail ran ~32x padded in round 1). All math here is channel-PLANAR:
+rgba live in separate (..., N) planes (or on a small major axis), and
+the only (..., C)-minor tensor is the gathered texel row itself.
 """
 
 from __future__ import annotations
@@ -63,7 +67,7 @@ def pack_tex_table(atlas):
 
 
 def pack_shade_rows(setup, face_world, face_normal, face_uv, face_tex, atlas):
-    """Build the (F, 96) fat shading table (per frame, F-sized: cheap).
+    """Build the (F, 104) fat shading table (per frame, F-sized: cheap).
 
     Int32 texture info is bitcast into the f32 row (values survive the
     round trip exactly; atlas offsets exceed f32's 2^24 integer range so
@@ -88,34 +92,24 @@ def _safe_div(a, b, eps=1e-30):
     return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
 
 
-def _rnorm(vec):
-    """1/||vec|| with zero-safe clamp, keepdims."""
-    return jax.lax.rsqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1, keepdims=True), 1e-20))
-
-
-def _lane_select(rows, lane):
-    """rows (..., 16) selected at per-element lane index (masked reduce —
-    avoids XLA's slow minor-dim gather path)."""
-    iota = jnp.arange(16, dtype=lane.dtype)
-    return jnp.sum(jnp.where(lane[..., None] == iota, rows, 0), axis=-1)
-
-
-def _lerp_quad(quad, fx, fy):
-    """Bilinear blend of a 16-float [TL, TR, BL, BR] channel-block quad."""
-    top = quad[..., 0:4] * (1 - fx) + quad[..., 4:8] * fx
-    bot = quad[..., 8:12] * (1 - fx) + quad[..., 12:16] * fx
-    return top * (1 - fy) + bot * fy
+def _rnorm3(x, y, z):
+    """1/||(x,y,z)|| planar, zero-safe."""
+    return jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
 
 
 def _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v):
     """Trilinear sample with repeat addressing: ONE row gather.
 
-    Atlas rows (device/textures.py) carry the own-mip 2x2 quad plus the
-    parent-mip 3x3 window anchored at ((x0-1)//2, (y0-1)//2); the parent
-    bilinear footprint starts at offset dx, dy in {0, 1} inside the
-    window, computed exactly below. Gather row count (not width) is the
-    v5e sampling wall, so folding both mip taps into one row halves the
+    Atlas rows (device/textures.py) carry the own-mip 2x2 bilinear quad
+    plus the 3x3 window of the parent mip anchored at ((x0-1)//2,
+    (y0-1)//2) — the parent footprint for ANY sample point mapping to
+    quad (x0, y0) lands inside that window at offset dx, dy in {0, 1},
+    derived exactly below. Gather row count (not width) is the v5e
+    sampling wall, so folding both mip taps into one row halves the
     texture-unit cost.
+
+    All arithmetic is channel-planar: returns 4 planes (r, g, b, a)
+    shaped like `u` — no (..., 4)-minor temporaries (32x lane padding).
     """
     wf = tw0.astype(jnp.float32)
     hf = th0.astype(jnp.float32)
@@ -123,12 +117,14 @@ def _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v):
     y = v * hf - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    fx = x - x0
+    fy = y - y0
     x0i = jnp.mod(x0.astype(jnp.int32), tw0)
     y0i = jnp.mod(y0.astype(jnp.int32), th0)
-    row = texels[off0 + y0i * tw0 + x0i].astype(jnp.float32)  # (..., 52)
-    c0 = _lerp_quad(row[..., 0:16], fx, fy)
+    # ONE transpose turns the gathered (..., 52) rows channel-planar:
+    # every subsequent per-channel access is a major-axis row (free view)
+    # instead of a single-lane strided slice of a 52->128-padded array.
+    row = jnp.moveaxis(texels[off0 + y0i * tw0 + x0i], -1, 0)  # (52, ...)
 
     # Parent-mip footprint: same sample point in mip l+1 coordinates.
     wf1 = tw1.astype(jnp.float32)
@@ -137,8 +133,8 @@ def _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v):
     y1f = v * hf1 - 0.5
     x1 = jnp.floor(x1f)
     y1 = jnp.floor(y1f)
-    fx1 = (x1f - x1)[..., None]
-    fy1 = (y1f - y1)[..., None]
+    fx1 = x1f - x1
+    fy1 = y1f - y1
     # Window anchor in unwrapped coords; dx, dy in {0, 1} by construction
     # for power-of-two mips (w1 == w0/2). The clip is exact where it can
     # bind: a dimension-1 mip (w1 == w0 == 1) has a uniform window, so
@@ -146,27 +142,82 @@ def _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v):
     dx = jnp.clip(x1 - jnp.floor((x0 - 1.0) * 0.5), 0.0, 1.0)
     dy = jnp.clip(y1 - jnp.floor((y0 - 1.0) * 0.5), 0.0, 1.0)
 
-    # Parent blend as a direct weighted sum over the 3x3 window: per-axis
-    # weights put (1-f, f) at offset (dx, dx+1) — algebraically the same
-    # bilinear, but it reads the gathered row once per texel slice with
-    # no materialized quad intermediates (XLA fuses it into the gather
-    # consumers; the select-then-lerp form cost ~6 ms/frame in HBM
-    # round-trips at 1080p).
+    # Per-axis 3-tap parent weights: (1-f, f) placed at offset (d, d+1).
     one = jnp.float32(1.0)
-    wx1 = [(one - dx) * (one - fx1[..., 0]), (one - dx) * fx1[..., 0] + dx * (one - fx1[..., 0]), dx * fx1[..., 0]]
-    wy1 = [(one - dy) * (one - fy1[..., 0]), (one - dy) * fy1[..., 0] + dy * (one - fy1[..., 0]), dy * fy1[..., 0]]
-    c1 = jnp.zeros_like(c0)
-    for r in range(3):
-        for c in range(3):
-            s = 16 + (r * 3 + c) * 4
-            c1 = c1 + (wy1[r] * wx1[c])[..., None] * row[..., s : s + 4]
-    return c0 * (1 - tfrac) + c1 * tfrac
+    wx1 = [(one - dx) * (one - fx1), (one - dx) * fx1 + dx * (one - fx1), dx * fx1]
+    wy1 = [(one - dy) * (one - fy1), (one - dy) * fy1 + dy * (one - fy1), dy * fy1]
+    w9 = [wy1[r] * wx1[c] for r in range(3) for c in range(3)]
+
+    # Own-mip bilinear per channel + parent 3x3 weighted sum per channel.
+    fx_i = one - fx
+    fy_i = one - fy
+    t_i = one - tfrac
+
+    def tex(i):  # texel plane i of the gathered rows, upcast lazily
+        return row[i].astype(jnp.float32)
+
+    out = []
+    for c in range(4):
+        top = tex(c) * fx_i + tex(4 + c) * fx
+        bot = tex(8 + c) * fx_i + tex(12 + c) * fx
+        c0 = top * fy_i + bot * fy
+        c1 = w9[0] * tex(16 + c)
+        for k in range(1, 9):
+            c1 = c1 + w9[k] * tex(16 + 4 * k + c)
+        out.append(c0 * t_i + c1 * tfrac)
+    return out
+
+
+def _light_planes(
+    albedo,  # [r, g, b, a] planes; a = specular mask (basic.frag:20-22)
+    world,  # [x, y, z] planes
+    normal,  # [x, y, z] planes
+    camera_position,  # (3,) f32
+    *,
+    light_direction,
+    light_color,
+    ambient_amount: float,
+    specular_power: float,
+):
+    """basic.frag:15-38 lighting, channel-planar. Returns [r, g, b]."""
+    ldx, ldy, ldz = (jnp.float32(c) for c in light_direction)
+    rn = _rnorm3(*normal)
+    nx, ny, nz = normal[0] * rn, normal[1] * rn, normal[2] * rn
+    vx = camera_position[0] - world[0]
+    vy = camera_position[1] - world[1]
+    vz = camera_position[2] - world[2]
+    rv = _rnorm3(vx, vy, vz)
+    vx, vy, vz = vx * rv, vy * rv, vz * rv
+
+    n_dot_l = nx * ldx + ny * ldy + nz * ldz
+    diffuse_amount = jnp.maximum(0.0, n_dot_l)
+    # reflect(-l, n) = 2*(n.l)*n - l
+    rx = 2.0 * n_dot_l * nx - ldx
+    ry = 2.0 * n_dot_l * ny - ldy
+    rz = 2.0 * n_dot_l * nz - ldz
+    v_dot_r = jnp.maximum(0.0, vx * rx + vy * ry + vz * rz)
+    spec_amount = albedo[3] * jnp.power(v_dot_r, specular_power)
+    # Same association as basic.frag:36-38: (amb+diff)*lightColor*albedo
+    # + spec*lightColor.
+    k = ambient_amount + diffuse_amount
+    lc = [jnp.float32(c) for c in light_color]
+    return [(k * lc[i]) * albedo[i] + spec_amount * lc[i] for i in range(3)]
+
+
+def _plane_select(planes, lane):
+    """planes (16, ...) selected at per-element level index (masked
+    accumulation over the major axis — no minor-dim gather, no
+    channel-minor temporaries)."""
+    out = jnp.where(lane == 0, planes[0], 0)
+    for i in range(1, 16):
+        out = out + jnp.where(lane == i, planes[i], 0)
+    return out
 
 
 def shade_deferred(
     fid,  # (H, W) int32 face id, -1 background
-    shade_rows,  # (F, 96) f32 packed per-face table (incl. tex info)
-    texels,  # (N, 16) f32 linear quad-row atlas
+    shade_rows,  # (F, 104) f32 packed per-face table (incl. tex info)
+    texels,  # (N, 52) linear quad-row atlas
     camera_position,  # (3,) f32
     *,
     light_direction,
@@ -176,41 +227,37 @@ def shade_deferred(
     clear_color,
     max_anisotropy: int = 1,
 ):
-    """Returns (H, W, 4) f32 linear-color framebuffer."""
+    """Returns (4, H, W) f32 linear-color framebuffer (channel-planar)."""
     h, w = fid.shape
     mask = fid >= 0
     f = jnp.maximum(fid, 0)
 
-    rows = shade_rows[f]  # (H, W, SHADE_ROW_WIDTH) — THE gather
-    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5 - rows[..., 16]  # anchored
-    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 - rows[..., 17]
-    e0 = rows[..., 0] * px + rows[..., 1] * py + rows[..., 2]
-    e1 = rows[..., 3] * px + rows[..., 4] * py + rows[..., 5]
-    e2 = rows[..., 6] * px + rows[..., 7] * py + rows[..., 8]
+    # THE gather, then one transpose to channel-planar (104, H, W) so
+    # every attribute access is a major-axis row, not a strided
+    # single-lane slice of a lane-padded array.
+    rows = jnp.moveaxis(shade_rows[f], -1, 0)
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5 - rows[16]  # anchored
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 - rows[17]
+    e0 = rows[0] * px + rows[1] * py + rows[2]
+    e1 = rows[3] * px + rows[4] * py + rows[5]
+    e2 = rows[6] * px + rows[7] * py + rows[8]
     esum = e0 + e1 + e2
     inv_esum = _safe_div(jnp.float32(1.0), esum)
     u0 = e0 * inv_esum
     u1 = e1 * inv_esum
     u2 = e2 * inv_esum
 
-    def interp3(base):  # vec3 attribute at slots [base, base+9)
-        return jnp.stack(
-            [
-                u0 * rows[..., base + 0] + u1 * rows[..., base + 3] + u2 * rows[..., base + 6],
-                u0 * rows[..., base + 1] + u1 * rows[..., base + 4] + u2 * rows[..., base + 7],
-                u0 * rows[..., base + 2] + u1 * rows[..., base + 5] + u2 * rows[..., base + 8],
-            ],
-            axis=-1,
-        )
+    def interp(base, k):  # scalar attribute k of a vec-k group at slots base..
+        return u0 * rows[base] + u1 * rows[base + k] + u2 * rows[base + 2 * k]
 
-    world = interp3(ROW_WORLD)
-    normal = interp3(ROW_NORMAL)
-    uv_u = u0 * rows[..., ROW_UV] + u1 * rows[..., ROW_UV + 2] + u2 * rows[..., ROW_UV + 4]
-    uv_v = u0 * rows[..., ROW_UV + 1] + u1 * rows[..., ROW_UV + 3] + u2 * rows[..., ROW_UV + 5]
+    world = [interp(ROW_WORLD + i, 3) for i in range(3)]
+    normal = [interp(ROW_NORMAL + i, 3) for i in range(3)]
+    uv_u = interp(ROW_UV, 2)
+    uv_v = interp(ROW_UV + 1, 2)
 
     # Analytic UV screen derivatives: uv = N(p)/D(p), N and D linear in p.
-    a0, a1, a2 = rows[..., 0], rows[..., 3], rows[..., 6]
-    b0, b1, b2 = rows[..., 1], rows[..., 4], rows[..., 7]
+    a0, a1, a2 = rows[0], rows[3], rows[6]
+    b0, b1, b2 = rows[1], rows[4], rows[7]
     d_x = a0 + a1 + a2
     d_y = b0 + b1 + b2
     inv2 = inv_esum * inv_esum
@@ -221,25 +268,25 @@ def shade_deferred(
         ny = b0 * c0 + b1 * c1 + b2 * c2
         return (nx * esum - n * d_x) * inv2, (ny * esum - n * d_y) * inv2
 
-    du_dx, du_dy = duv(rows[..., ROW_UV], rows[..., ROW_UV + 2], rows[..., ROW_UV + 4])
-    dv_dx, dv_dy = duv(rows[..., ROW_UV + 1], rows[..., ROW_UV + 3], rows[..., ROW_UV + 5])
+    du_dx, du_dy = duv(rows[ROW_UV], rows[ROW_UV + 2], rows[ROW_UV + 4])
+    dv_dx, dv_dy = duv(rows[ROW_UV + 1], rows[ROW_UV + 3], rows[ROW_UV + 5])
 
     # --- texture sampling -------------------------------------------------
     trow = jax.lax.bitcast_convert_type(
-        rows[..., ROW_TEXINFO : ROW_TEXINFO + TEX_ROW_WIDTH], jnp.int32
-    )  # (H, W, 49)
-    w0 = trow[..., 16].astype(jnp.float32)
-    h0 = trow[..., 32].astype(jnp.float32)
-    n_mips = trow[..., 48]
+        rows[ROW_TEXINFO : ROW_TEXINFO + TEX_ROW_WIDTH], jnp.int32
+    )  # (49, H, W)
+    w0 = trow[16].astype(jnp.float32)
+    h0 = trow[32].astype(jnp.float32)
+    n_mips = trow[48]
 
     rho2_x = (du_dx * w0) ** 2 + (dv_dx * h0) ** 2
     rho2_y = (du_dy * w0) ** 2 + (dv_dy * h0) ** 2
     rho2_max = jnp.maximum(rho2_x, rho2_y)
 
     def level_fields(lvl):
-        off = _lane_select(trow[..., 0:16], lvl)
-        tw = _lane_select(trow[..., 16:32], lvl)
-        th = _lane_select(trow[..., 32:48], lvl)
+        off = _plane_select(trow[0:16], lvl)
+        tw = _plane_select(trow[16:32], lvl)
+        th = _plane_select(trow[32:48], lvl)
         return off, tw, th
 
     def trilinear(u, v, rho2):
@@ -247,7 +294,7 @@ def shade_deferred(
         lod = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
         l0 = jnp.floor(lod).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, n_mips - 1)
-        tfrac = (lod - l0.astype(jnp.float32))[..., None]
+        tfrac = lod - l0.astype(jnp.float32)
         off0, tw0, th0 = level_fields(l0)
         _, tw1, th1 = level_fields(l1)
         return _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v)
@@ -265,36 +312,36 @@ def shade_deferred(
         maj_du = jnp.where(major_is_x, du_dx, du_dy)
         maj_dv = jnp.where(major_is_x, dv_dx, dv_dy)
         rho2_min = jnp.minimum(rho2_x, rho2_y)
-        # Limit the sampled footprint to n probes' worth of the minor lod.
-        acc = 0.0
+        acc = [0.0, 0.0, 0.0, 0.0]
         for i in range(n):
-            f = (i + 0.5) / n - 0.5
-            acc = acc + trilinear(uv_u + maj_du * f, uv_v + maj_dv * f, rho2_min)
-        albedo = acc / n
+            fo = (i + 0.5) / n - 0.5
+            probe = trilinear(uv_u + maj_du * fo, uv_v + maj_dv * fo, rho2_min)
+            acc = [a + p for a, p in zip(acc, probe)]
+        albedo = [a / n for a in acc]
 
-    # --- basic.frag lighting ---------------------------------------------
-    ldir = jnp.asarray(light_direction, dtype=jnp.float32)
-    lcol = jnp.asarray(light_color, dtype=jnp.float32)
-    n = normal * _rnorm(normal)
-    view_dir = camera_position[None, None, :] - world
-    v = view_dir * _rnorm(view_dir)
-
-    n_dot_l = jnp.sum(n * ldir, axis=-1, keepdims=True)
-    diffuse_amount = jnp.maximum(0.0, n_dot_l)
-    r = 2.0 * n_dot_l * n - ldir  # reflect(-l, n)
-    spec_amount = albedo[..., 3:4] * jnp.power(
-        jnp.maximum(0.0, jnp.sum(v * r, axis=-1, keepdims=True)), specular_power
+    rgb = _light_planes(
+        albedo,
+        world,
+        normal,
+        camera_position,
+        light_direction=light_direction,
+        light_color=light_color,
+        ambient_amount=ambient_amount,
+        specular_power=specular_power,
     )
-    color = (ambient_amount + diffuse_amount) * lcol * albedo[..., :3] + spec_amount * lcol
-
-    out = jnp.concatenate([color, jnp.ones_like(color[..., :1])], axis=-1)
     clear = jnp.asarray(clear_color, dtype=jnp.float32)
-    return jnp.where(mask[..., None], out, clear[None, None, :])
+    planes = [
+        jnp.where(mask, rgb[0], clear[0]),
+        jnp.where(mask, rgb[1], clear[1]),
+        jnp.where(mask, rgb[2], clear[2]),
+        jnp.where(mask, jnp.float32(1.0), clear[3]),
+    ]
+    return jnp.stack(planes, axis=0)
 
 
 def shade_gbuffer(
-    gbuf,  # (T, A_OUT, N) f32 from kernels/resolve.py
-    texels,  # (N, 16) linear quad-row atlas
+    gbuf,  # (A_OUT, H, W) f32 from kernels/resolve.py
+    texels,  # (N, 52) linear quad-row atlas
     camera_position,  # (3,) f32
     *,
     light_direction,
@@ -306,30 +353,30 @@ def shade_gbuffer(
 ):
     """Forward-path shading tail: the resolve kernel already interpolated
     everything per pixel, so this is just texture taps (the only remaining
-    gathers: 2 quad rows per pixel for trilinear) + the basic.frag
+    gathers: one 52-float quad row per trilinear sample) + the basic.frag
     lighting — same formulas and op order as shade_deferred so the two
-    paths match bit-for-bit. Operates in tile layout (T, N); detiling to
-    (H, W) happens at present time.
+    paths match bit-for-bit. Everything is channel-planar over (H, W)
+    pixel planes, in framebuffer layout end to end.
 
-    Returns (T, N, 4) f32 linear-color tiles.
+    Returns (4, H, W) f32 linear-color planes.
     """
 
     def g(i):
-        return gbuf[:, i, :]  # (T, N)
+        return gbuf[i]  # (H, W)
 
-    mask = g(17) > 0.0
-    world = jnp.stack([g(0), g(1), g(2)], axis=-1)  # (T, N, 3)
-    normal = jnp.stack([g(3), g(4), g(5)], axis=-1)
+    mask = g(16) > 0.0
+    world = [g(0), g(1), g(2)]
+    normal = [g(3), g(4), g(5)]
     uv_u, uv_v = g(6), g(7)
     # Offsets rode through f32 as offset/256 (exact); widths/heights are
     # small integers in f32.
     off0 = g(8).astype(jnp.int32) * 256
     tw0 = g(9).astype(jnp.int32)
     th0 = g(10).astype(jnp.int32)
-    tw1 = g(12).astype(jnp.int32)
-    th1 = g(13).astype(jnp.int32)
-    tfrac = g(14)[..., None]
-    maj_du, maj_dv = g(15), g(16)
+    tw1 = g(11).astype(jnp.int32)
+    th1 = g(12).astype(jnp.int32)
+    tfrac = g(13)
+    maj_du, maj_dv = g(14), g(15)
 
     def trilinear_at(u, v):
         return _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v)
@@ -338,27 +385,28 @@ def shade_gbuffer(
         albedo = trilinear_at(uv_u, uv_v)
     else:
         n_probes = int(max_anisotropy)
-        acc = 0.0
+        acc = [0.0, 0.0, 0.0, 0.0]
         for i in range(n_probes):
-            f = (i + 0.5) / n_probes - 0.5
-            acc = acc + trilinear_at(uv_u + maj_du * f, uv_v + maj_dv * f)
-        albedo = acc / n_probes
+            fo = (i + 0.5) / n_probes - 0.5
+            probe = trilinear_at(uv_u + maj_du * fo, uv_v + maj_dv * fo)
+            acc = [a + p for a, p in zip(acc, probe)]
+        albedo = [a / n_probes for a in acc]
 
-    # --- basic.frag lighting (identical to shade_deferred) ----------------
-    ldir = jnp.asarray(light_direction, dtype=jnp.float32)
-    lcol = jnp.asarray(light_color, dtype=jnp.float32)
-    n = normal * _rnorm(normal)
-    view_dir = camera_position[None, None, :] - world
-    v = view_dir * _rnorm(view_dir)
-
-    n_dot_l = jnp.sum(n * ldir, axis=-1, keepdims=True)
-    diffuse_amount = jnp.maximum(0.0, n_dot_l)
-    r = 2.0 * n_dot_l * n - ldir  # reflect(-l, n)
-    spec_amount = albedo[..., 3:4] * jnp.power(
-        jnp.maximum(0.0, jnp.sum(v * r, axis=-1, keepdims=True)), specular_power
+    rgb = _light_planes(
+        albedo,
+        world,
+        normal,
+        camera_position,
+        light_direction=light_direction,
+        light_color=light_color,
+        ambient_amount=ambient_amount,
+        specular_power=specular_power,
     )
-    color = (ambient_amount + diffuse_amount) * lcol * albedo[..., :3] + spec_amount * lcol
-
-    out = jnp.concatenate([color, jnp.ones_like(color[..., :1])], axis=-1)
     clear = jnp.asarray(clear_color, dtype=jnp.float32)
-    return jnp.where(mask[..., None], out, clear[None, None, :])
+    planes = [
+        jnp.where(mask, rgb[0], clear[0]),
+        jnp.where(mask, rgb[1], clear[1]),
+        jnp.where(mask, rgb[2], clear[2]),
+        jnp.where(mask, jnp.float32(1.0), clear[3]),
+    ]
+    return jnp.stack(planes, axis=0)  # (4, H, W)

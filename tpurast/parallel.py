@@ -134,12 +134,13 @@ def render_frame_sharded(
         slab_fn,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(axis, None, None), P(axis, None), P()),
+        # Color is channel-planar (4, H, W): slabs concatenate on rows.
+        out_specs=(P(None, axis, None), P(axis, None), P()),
         # Pallas calls don't carry varying-mesh-axis metadata yet.
         check_vma=False,
     )(scene, view_proj, camera_position)
     return {
-        "color": color[:height, :width],
+        "color": color[:, :height, :width],
         "depth": depth[:height, :width],
         "bin_overflow": overflow,
     }

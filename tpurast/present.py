@@ -14,6 +14,16 @@ from __future__ import annotations
 import numpy as np
 
 
+def interleave(img: np.ndarray) -> np.ndarray:
+    """(4, H, W) channel-planar (the device framebuffer layout; a
+    channel-minor device array would pad 4 -> 128 lanes) -> (H, W, 4)
+    interleaved host image. The host-side half of the swapchain's
+    surface-format conversion."""
+    if img.ndim == 3 and img.shape[0] == 4:
+        return np.ascontiguousarray(np.moveaxis(img, 0, -1))
+    return img
+
+
 class Presenter:
     """present(frame_n) -> host image of frame_{n-1} (None on first call)."""
 
@@ -28,9 +38,9 @@ class Presenter:
         previous, self._in_flight = self._in_flight, device_frame
         if previous is None:
             return None
-        return np.asarray(previous)
+        return interleave(np.asarray(previous))
 
     def flush(self) -> np.ndarray | None:
         """Drain the last in-flight frame (end of the run loop)."""
         last, self._in_flight = self._in_flight, None
-        return None if last is None else np.asarray(last)
+        return None if last is None else interleave(np.asarray(last))

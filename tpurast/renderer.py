@@ -57,6 +57,7 @@ def render_frame(
     max_anisotropy: int = 1,
     output: str = "srgb_u8",
     shading: str = "forward",
+    binning: str = "scan",
 ):
     """Pure frame function (jit-traced once per config/scene shape).
 
@@ -76,15 +77,26 @@ def render_frame(
         view_proj,
     )
     setup_out = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"], width, height)
-    tile_ids, tile_counts, overflow = geometry.bin_triangles(
-        setup_out["aabb"],
-        setup_out["valid"],
-        tiles_x,
-        tiles_y,
-        tile_w,
-        tile_h,
-        bin_capacity,
-    )
+    if binning == "pairs":
+        bins = geometry.bin_pairs(
+            setup_out["aabb"], setup_out["valid"], tiles_x, tiles_y, tile_w, tile_h
+        )
+        tile_counts = bins["counts"]
+        overflow = bins["overflow"]
+        plan = raster.plan_segments_pairs(bins, segment_headroom=segment_headroom)
+    else:
+        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+            setup_out["aabb"],
+            setup_out["valid"],
+            tiles_x,
+            tiles_y,
+            tile_w,
+            tile_h,
+            bin_capacity,
+        )
+        plan = raster.plan_segments(
+            tile_counts, tile_ids, segment_headroom=segment_headroom
+        )
     faces = scene["faces"]
     light_kwargs = dict(
         light_direction=light_direction,
@@ -94,22 +106,19 @@ def render_frame(
         clear_color=clear_color,
         max_anisotropy=max_anisotropy,
     )
+    vis = raster.rasterize_tiles(
+        tile_counts,
+        setup_out["setup"],
+        plan,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        clear_depth=clear_depth,
+    )  # (2, Hp, Wp) framebuffer layout: depth, face id
+    depth = vis[0]
+    dropped_segments = plan["dropped"]
     if shading == "forward":
-        plan = raster.plan_segments(
-            tile_counts, tile_ids, segment_headroom=segment_headroom
-        )
-        vis = raster.rasterize_tiles(
-            tile_counts,
-            setup_out["setup"],
-            plan,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            tiles_x=tiles_x,
-            tiles_y=tiles_y,
-            clear_depth=clear_depth,
-        )
-        depth = raster.tiles_to_image(vis[:, 0:1], tile_h, tile_w, tiles_x, tiles_y)
-        dropped_segments = plan["dropped"]
         attrs = resolve.pack_resolve_attrs(
             setup_out["setup"],
             world[faces],
@@ -128,22 +137,11 @@ def render_frame(
             tiles_x=tiles_x,
             anisotropic=max_anisotropy > 1,
         )
-        fb_tiles = shade.shade_gbuffer(
+        framebuffer = shade.shade_gbuffer(
             gbuf, scene["atlas"]["texels"], camera_position, **light_kwargs
-        )
-        framebuffer = raster.tiles_nc_to_image(fb_tiles, tile_h, tile_w, tiles_x, tiles_y)
+        )  # (4, Hp, Wp)
     else:
-        depth, fid, dropped_segments = raster.rasterize_visibility(
-            tile_counts,
-            setup_out["setup"],
-            tile_ids,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            tiles_x=tiles_x,
-            tiles_y=tiles_y,
-            clear_depth=clear_depth,
-            segment_headroom=segment_headroom,
-        )
+        fid = vis[1].astype(jnp.int32)
         shade_rows = shade.pack_shade_rows(
             setup_out["setup"],
             world[faces],
@@ -224,25 +222,41 @@ class Renderer:
         self.width, self.height = width, height
         self.tiles_x = _round_up(width, cfg.tile_w) // cfg.tile_w
         self.tiles_y = _round_up(height, cfg.tile_h) // cfg.tile_h
-        # Auto bin capacity: ideally every face can land in one tile
-        # (never overflows), but the per-tile setup gather is T*K rows —
-        # for large tile counts cap K to a memory budget (~4M binned
-        # slots ~= 256 MB) and surface drops via the bin_overflow
-        # counter. TODO(perf): replace the padded per-tile gather with
-        # count-prefixed segment lists (O(total pairs) memory).
+        # Binning path: the chunked scan (dense (T, chunk) overlap masks)
+        # is O(T*F) but has no sort; XLA's lax.sort has a few-ms floor on
+        # TPU, so pair-sort only wins when T*F is large (4K instancing).
+        f_pad = int(self.scene_host.faces.shape[0])
+        t_total = self.tiles_x * self.tiles_y
+        if cfg.binning == "auto":
+            self.binning = "pairs" if t_total * f_pad > 150_000_000 else "scan"
+        else:
+            self.binning = cfg.binning
+        # Auto bin capacity (scan path only): ideally every face can land
+        # in one tile (never overflows), but the per-tile gather is T*K
+        # rows — for large tile counts cap K to a memory budget and
+        # surface drops via the bin_overflow counter. The pairs path has
+        # no per-tile capacity at all.
         if cfg.bin_capacity is None:
-            # ~48M bin slots = 192 MB of tile_ids; the segment-scheduled
-            # raster only gathers/reads real pairs, so capacity is cheap.
-            budget = max(2048, 48_000_000 // max(1, self.tiles_x * self.tiles_y))
-            cap = min(self.scene_host.faces.shape[0], budget)
+            budget = max(2048, 48_000_000 // max(1, t_total))
+            cap = min(f_pad, budget)
         else:
             cap = cfg.bin_capacity
         self.bin_capacity = _round_up(max(cap, 128), 128)
+        if self.binning == "pairs":
+            # Headroom must cover ~pairs/CHUNK extra segments; pairs are
+            # typically < 2 per face for tile-sized triangles.
+            headroom = min(max(4096, (2 * f_pad) // 128), 65536)
+        else:
+            # Tail segments are cheap but not free: cap headroom by what
+            # the scene could possibly need.
+            headroom = min(cfg.segment_headroom, max(512, f_pad // 32))
+        self.segment_headroom = headroom
         log.debug(
-            "bin capacity %d (%d tiles, gather %.0f MB)",
+            "binning=%s capacity %d headroom %d (%d tiles)",
+            self.binning,
             self.bin_capacity,
-            self.tiles_x * self.tiles_y,
-            self.tiles_x * self.tiles_y * self.bin_capacity * 64 / 1e6,
+            headroom,
+            t_total,
         )
         self.projection = math3d.perspective_inverse_depth(
             cfg.vfov, width / height, cfg.znear
@@ -257,13 +271,7 @@ class Renderer:
                 tiles_x=self.tiles_x,
                 tiles_y=self.tiles_y,
                 bin_capacity=self.bin_capacity,
-                # Tail segments are cheap but not free: cap headroom by
-                # what the scene could possibly need (~faces/8 extra
-                # 128-triangle chunks is generous for real scenes).
-                segment_headroom=min(
-                    cfg.segment_headroom,
-                    max(512, self.scene_host.faces.shape[0] // 32),
-                ),
+                segment_headroom=self.segment_headroom,
                 clear_depth=cfg.clear_depth,
                 clear_color=cfg.clear_color,
                 light_direction=cfg.light_direction,
@@ -273,6 +281,7 @@ class Renderer:
                 max_anisotropy=cfg.max_anisotropy,
                 output=self.output,
                 shading=cfg.shading,
+                binning=self.binning,
             )
         )
 
@@ -297,5 +306,8 @@ class Renderer:
         return self._frame_fn(self.scene, view_proj, cam_pos)
 
     def render_to_host(self, camera: Camera) -> np.ndarray:
-        """Convenience: blocking render + readback of the color buffer."""
-        return np.asarray(jax.device_get(self.render(camera)["color"]))
+        """Convenience: blocking render + readback of the color buffer,
+        interleaved to (H, W, 4) on host (see present.interleave)."""
+        from tpurast.present import interleave
+
+        return interleave(np.asarray(jax.device_get(self.render(camera)["color"])))
