@@ -16,7 +16,7 @@ W = H = 64
 TILE_H, TILE_W = 8, 128  # one tile column; H/TILE_H = 8 tiles
 
 
-def rasterize(clip_verts, faces=None, width=W, height=H, capacity=128):
+def rasterize(clip_verts, faces=None, width=W, height=H, capacity=1024, binner=None):
     """Helper: clip-space triangles -> (depth, fid) images."""
     clip = jnp.asarray(np.asarray(clip_verts, dtype=np.float32))
     if faces is None:
@@ -26,13 +26,17 @@ def rasterize(clip_verts, faces=None, width=W, height=H, capacity=128):
     tiles_x = -(-width // TILE_W)
     tiles_y = -(-height // TILE_H)
     s = geometry.triangle_setup(clip, faces, n, width, height)
-    ids, counts, overflow = geometry.bin_triangles(
-        s["aabb"], s["valid"], tiles_x, tiles_y, TILE_W, TILE_H, capacity
-    )
+    if binner == "pairs":
+        bins = geometry.bin_pairs(
+            s["aabb"], s["valid"], tiles_x, tiles_y, TILE_W, TILE_H
+        )
+    else:
+        bins = geometry.bin_triangles(
+            s["aabb"], s["valid"], tiles_x, tiles_y, TILE_W, TILE_H, capacity
+        )
     depth, fid, _dropped = raster.rasterize_visibility(
-        counts,
+        bins,
         s["setup"],
-        ids,
         tile_h=TILE_H,
         tile_w=TILE_W,
         tiles_x=tiles_x,
@@ -42,7 +46,7 @@ def rasterize(clip_verts, faces=None, width=W, height=H, capacity=128):
     return (
         np.asarray(depth)[:height, :width],
         np.asarray(fid)[:height, :width],
-        int(np.asarray(overflow).sum()),
+        int(np.asarray(bins["overflow"])),
         np.asarray(s["det"]),
     )
 
@@ -266,21 +270,48 @@ class TestBinning:
         clip = jnp.asarray(t)
         faces = jnp.arange(3, dtype=jnp.int32).reshape(1, 3)
         s = geometry.triangle_setup(clip, faces, 1, W, H)
-        ids, counts, ovf = geometry.bin_triangles(
+        bins = geometry.bin_triangles(
             s["aabb"], s["valid"] | True, 1, 8, TILE_W, TILE_H, 16
         )
-        counts = np.asarray(counts)
+        counts = np.asarray(bins["counts"])
         # y range 18..22 -> tile rows 2 (16..24). One tile bin nonempty.
         assert counts[2] == 1
         assert counts.sum() == 1
 
     def test_overflow_counted(self):
+        # 5 full-screen faces over 8 tiles = 40 pairs; capacity 16 keeps
+        # the first 2 tiles' worth... pairs are laid out tile-major, so
+        # truncation drops whole later tiles and the overflow counter
+        # reports the dropped pair count.
         t = np.concatenate([tri_covering_pixels(0, 0, W, H)] * 5)
         faces = np.arange(15, dtype=np.int32).reshape(5, 3)
         clip = jnp.asarray(t)
         s = geometry.triangle_setup(clip, jnp.asarray(faces), 5, W, H)
-        ids, counts, ovf = geometry.bin_triangles(
-            s["aabb"], s["valid"], 1, 8, TILE_W, TILE_H, 2
+        bins = geometry.bin_triangles(
+            s["aabb"], s["valid"], 1, 8, TILE_W, TILE_H, 16
         )
-        assert (np.asarray(counts) == 2).all()
-        assert (np.asarray(ovf) == 3).all()
+        counts = np.asarray(bins["counts"])
+        assert counts.sum() == 16  # truncated at capacity
+        assert int(bins["overflow"]) == 24  # 40 - 16 dropped pairs
+        # Kept tiles are complete and in draw order.
+        pairs = np.asarray(bins["pair_faces"])
+        offs = np.asarray(bins["offsets"])
+        for tt in range(3):
+            np.testing.assert_array_equal(
+                pairs[offs[tt] : offs[tt] + counts[tt]],
+                np.arange(counts[tt], dtype=np.int32),
+            )
+
+    def test_scan_and_pairs_paths_agree(self):
+        rng = np.random.default_rng(7)
+        tris = []
+        for _ in range(40):
+            c = rng.uniform(5, 59, 2)
+            off = rng.uniform(-8, 8, (3, 2)) + c
+            tris.append(ndc_tri(*[screen_to_ndc(*p) for p in off]))
+        clip = np.concatenate(tris)
+        d1, f1, o1, _ = rasterize(clip)
+        d2, f2, o2, _ = rasterize(clip, binner="pairs")
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(d1, d2)
+        assert o1 == 0 and o2 == 0

@@ -69,7 +69,7 @@ def main() -> int:
 
     tiles_x, tiles_y = r.tiles_x, r.tiles_y
     tw, th = cfg.tile_w, cfg.tile_h
-    seg_headroom = min(cfg.segment_headroom, max(512, scene_host.faces.shape[0] // 32))
+    seg_headroom = r.segment_headroom
 
     def stage_geom(scene, view_proj, cam):
         clip, world, wnormal = geometry.transform_vertices(
@@ -85,9 +85,9 @@ def main() -> int:
             scene["models"], scene["normal_mats"], view_proj)
         s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
                                     args.width, args.height)
-        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+        bins = geometry.bin_triangles(
             s["aabb"], s["valid"], tiles_x, tiles_y, tw, th, r.bin_capacity)
-        return {"x": tile_counts + tile_ids[:, 0]}
+        return {"x": bins["counts"] + bins["pair_faces"][0]}
 
     def stage_raster(scene, view_proj, cam):
         clip, world, wnormal = geometry.transform_vertices(
@@ -95,10 +95,10 @@ def main() -> int:
             scene["models"], scene["normal_mats"], view_proj)
         s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
                                     args.width, args.height)
-        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+        bins = geometry.bin_triangles(
             s["aabb"], s["valid"], tiles_x, tiles_y, tw, th, r.bin_capacity)
         depth, fid, dropped = raster.rasterize_visibility(
-            tile_counts, s["setup"], tile_ids, tile_h=th, tile_w=tw,
+            bins, s["setup"], tile_h=th, tile_w=tw,
             tiles_x=tiles_x, tiles_y=tiles_y, clear_depth=cfg.clear_depth,
             segment_headroom=seg_headroom)
         return {"x": fid}
@@ -110,10 +110,10 @@ def main() -> int:
             scene["models"], scene["normal_mats"], view_proj)
         s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
                                     args.width, args.height)
-        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+        bins = geometry.bin_triangles(
             s["aabb"], s["valid"], tiles_x, tiles_y, tw, th, r.bin_capacity)
         depth, fid, dropped = raster.rasterize_visibility(
-            tile_counts, s["setup"], tile_ids, tile_h=th, tile_w=tw,
+            bins, s["setup"], tile_h=th, tile_w=tw,
             tiles_x=tiles_x, tiles_y=tiles_y, clear_depth=cfg.clear_depth,
             segment_headroom=seg_headroom)
         faces = scene["faces"]
@@ -133,9 +133,10 @@ def main() -> int:
             scene["models"], scene["normal_mats"], view_proj)
         s = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"],
                                     args.width, args.height)
-        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+        bins = geometry.bin_triangles(
             s["aabb"], s["valid"], tiles_x, tiles_y, tw, th, r.bin_capacity)
-        plan = raster.plan_segments(tile_counts, tile_ids, segment_headroom=seg_headroom)
+        tile_counts = bins["counts"]
+        plan = raster.plan_segments(bins, segment_headroom=seg_headroom)
         vis = raster.rasterize_tiles(tile_counts, s["setup"], plan,
                                      tile_h=th, tile_w=tw, tiles_x=tiles_x,
                                      tiles_y=tiles_y, clear_depth=cfg.clear_depth)

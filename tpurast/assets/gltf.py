@@ -174,11 +174,14 @@ def parse_glb(blob: bytes, post_transform: np.ndarray | None = None) -> GltfMode
     image_uris = [img["uri"] for img in gltf_json.get("images", []) if "uri" in img]
     draws: list[PrimitiveDraw] = []
 
-    def load_node(node_index: int) -> None:
+    def load_node(node_index: int, parent: np.ndarray) -> None:
         node = gltf_json["nodes"][node_index]
-        # Application order: node transform, then model->world, then
-        # post_transform (src/Renderer.zig:797-799; SURVEY §2.4.2).
-        model_matrix = math3d.compose(_node_local_transform(node), model_to_world, post_transform)
+        # Application order: node local transform, then the accumulated
+        # ancestor chain, then model->world, then post_transform
+        # (src/Renderer.zig:797-799; SURVEY §2.4.2). The reference passes
+        # the composed matrix down its loadNodes recursion the same way.
+        local = math3d.compose(_node_local_transform(node), parent)
+        model_matrix = math3d.compose(local, model_to_world, post_transform)
         nmat = math3d.normal_matrix(model_matrix)
 
         mesh_index = node.get("mesh")
@@ -220,10 +223,11 @@ def parse_glb(blob: bytes, post_transform: np.ndarray | None = None) -> GltfMode
                     )
                 )
         for child in node.get("children", []):
-            load_node(child)
+            load_node(child, local)
 
+    identity = math3d.mat4_identity()
     for node_index in top_nodes:
-        load_node(node_index)
+        load_node(node_index, identity)
 
     return GltfModel(draws=draws, image_uris=image_uris)
 

@@ -55,9 +55,10 @@ class RendererConfig:
     # same 4096 px/tile as round-1's 64x64 with full lane occupancy.
     tile_h: int = 32
     tile_w: int = 128
-    # Per-tile triangle bin capacity (static shape). None = auto-size to
-    # the scene's face count (never drops triangles). A fixed value bounds
-    # the per-tile pre-gather memory; overflow is counted and reported.
+    # Binned-pair buffer capacity (static shape): total (tile, face)
+    # pairs per frame for the scan binning path. None = auto (4x the
+    # padded face count — generous; typical scenes emit < 2 pairs/face).
+    # Truncation is counted in the frame's bin_overflow.
     bin_capacity: int | None = None
     # Extra raster work segments beyond one-per-tile (covers tiles whose
     # bins exceed 128 triangles). Each segment is a (tile, 128-triangle

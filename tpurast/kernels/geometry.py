@@ -177,7 +177,7 @@ def bin_pairs(
     tile_w,
     tile_h,
     tiles_per_face: int = 8,
-    huge_budget: int = 8,
+    huge_budget: int = 64,
 ):
     """Pair-expansion binning: O(F * tiles_per_face + pairs log pairs).
 
@@ -230,8 +230,9 @@ def bin_pairs(
     vals_small = jnp.broadcast_to(face_ids[None, :], (tiles_per_face, f)).reshape(-1)
 
     # Huge faces: first huge_budget in draw order via one top_k.
+    hb = min(huge_budget, f)
     hw = jnp.where(huge, f - face_ids, 0)
-    _, hidx = jax.lax.top_k(hw, huge_budget)  # (HB,) face indices
+    _, hidx = jax.lax.top_k(hw, hb)  # (HB,) face indices
     h_ok_face = huge[hidx]  # (HB,) bool — False when fewer than HB huge
     jh = jnp.arange(t, dtype=jnp.int32)[None, :]  # (HB, T) worst case
     hsx = jnp.maximum(span_x[hidx], 1)[:, None]
@@ -240,7 +241,7 @@ def bin_pairs(
     h_tile = (ty0[hidx][:, None] + hy) * tiles_x + tx0[hidx][:, None] + hx
     h_ok = h_ok_face[:, None] & (jh < span[hidx][:, None])
     keys_huge = jnp.where(h_ok, h_tile, t).reshape(-1)
-    vals_huge = jnp.broadcast_to(hidx[:, None], (huge_budget, t)).reshape(-1)
+    vals_huge = jnp.broadcast_to(hidx[:, None], (hb, t)).reshape(-1)
 
     keys = jnp.concatenate([keys_small, keys_huge])
     vals = jnp.concatenate([vals_small, vals_huge])
@@ -273,34 +274,42 @@ def bin_triangles(
     tiles_y,
     tile_w,
     tile_h,
-    capacity,
+    pair_capacity,
     tiles_per_face: int = 8,
-    huge_budget: int = 8,
+    huge_budget: int = 64,
     face_chunk: int = 8192,
 ):
-    """Tiled binning: chunked rank-by-cumsum + sparse pair scatter.
+    """Tiled binning: chunked rank-by-cumsum scan -> COMPACT pair lists.
 
     Draw-order ranks come from a dense (T, chunk) overlap mask + cumsum —
     scatter-free and VPU-bound — processed over face chunks inside a
-    lax.scan so memory and index ranges stay bounded for large scenes
-    (64x-instanced at 4K is T*F ~ 5e9: far beyond int32 and HBM as one
-    matrix). Pairs are then written with ONE sparse scatter per chunk
-    (XLA:TPU scatter cost is proportional to attempted updates; the dense
-    masked scatter was ~50x slower).
+    lax.scan so memory stays bounded. Two passes: pass 1 accumulates
+    per-tile counts (one mask sum per chunk), then per-tile offsets are
+    one exclusive cumsum; pass 2 recomputes ranks and scatters face ids
+    at offsets[tile] + rank into ONE compact (P,) pair buffer — the same
+    output form as bin_pairs, with no (T, K) padded bin matrix and no
+    sort (XLA's lax.sort has a few-ms floor; the scan is faster until
+    T*F explodes — the renderer picks per target, see bin_pairs).
 
     Per chunk:
       * "small" faces (AABB spanning <= tiles_per_face tiles) enumerate
         their (face, tile) pairs explicitly and scatter at rank slots;
       * "huge" faces (near-plane spanning / close-up geometry, rare) are
-        compacted up to huge_budget per chunk and scattered against every
-        tile they overlap. Excess huge faces are dropped and counted.
+        compacted up to a GLOBAL huge_budget per frame and scattered
+        against every tile they overlap (arena-style full-screen floors
+        plus close-up props easily reach ~10; 64 leaves headroom — the
+        cost is an (HB, T) enumeration per chunk, small next to the
+        (T, CF) mask). Excess huge faces are dropped, counted, and
+        EXCLUDED from counts/ranks (a counted-but-unwritten face would
+        leave a stale slot that rasterizes as face 0).
 
-    Returns (tile_ids (T, K) int32 face ids in draw order, tile_counts
-    (T,) int32 clamped to K, overflow (T,) int32 dropped count).
+    Returns the bin_pairs dict: pair_faces (P,), offsets (T+1,),
+    counts (T,), overflow (scalar dropped-pair count, huge drops plus
+    pair_capacity truncation).
     """
     f = aabb.shape[0]
     t = tiles_x * tiles_y
-    k = capacity
+    p_cap = pair_capacity
     tx0, ty0, tx1, ty1, valid = _tile_ranges(
         aabb, valid, tiles_x, tiles_y, tile_w, tile_h
     )
@@ -332,46 +341,69 @@ def bin_triangles(
     tile_col = (jnp.arange(t, dtype=jnp.int32) % tiles_x)[:, None]  # (T, 1)
     tile_row = (jnp.arange(t, dtype=jnp.int32) // tiles_x)[:, None]
     j = jnp.arange(tiles_per_face, dtype=jnp.int32)[None, :]  # (1, TPF)
+    lid = jnp.arange(cf, dtype=jnp.int32)
 
-    def chunk_step(carry, x):
-        tile_ids_flat, base, huge_dropped = carry
+    def chunk_fields(x, huge_seen):
+        """Shared mask/rank precursors; identical in both passes."""
+        hugec = x["huge"] > 0
+        hslot = jnp.cumsum(hugec, dtype=jnp.int32) - 1 + huge_seen
+        hkeep = hugec & (hslot < huge_budget)
+        written = (x["small"] > 0) | hkeep  # faces that will be scattered
         maskc = (
-            (x["small"] + x["huge"] > 0)[None, :]
+            written[None, :]
             & (tile_col >= x["tx0"][None, :])
             & (tile_col <= x["tx1"][None, :])
             & (tile_row >= x["ty0"][None, :])
             & (tile_row <= x["ty1"][None, :])
         )  # (T, CF)
-        counts_c = jnp.sum(maskc, axis=1, dtype=jnp.int32)
+        n_huge = jnp.sum(hugec, dtype=jnp.int32)
+        return maskc, hslot, hkeep, n_huge
+
+    # ---- pass 1: per-tile counts ----------------------------------------
+    def count_step(carry, x):
+        counts, huge_seen = carry
+        maskc, _, _, n_huge = chunk_fields(x, huge_seen)
+        return (counts + jnp.sum(maskc, axis=1, dtype=jnp.int32), huge_seen + n_huge), None
+
+    (counts, n_huge_total), _ = jax.lax.scan(
+        count_step, (jnp.zeros(t, dtype=jnp.int32), jnp.int32(0)), xs
+    )
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+
+    # ---- pass 2: rank + scatter into the compact pair buffer ------------
+    def write_step(carry, x):
+        pair_faces, base, huge_seen = carry
+        maskc, hslot, hkeep, n_huge = chunk_fields(x, huge_seen)
         rank = jnp.cumsum(maskc, axis=1, dtype=jnp.int32) - 1 + base[:, None]
 
         # Small-face pairs.
         jx = j % jnp.maximum(x["span_x"], 1)[:, None]
         jy = j // jnp.maximum(x["span_x"], 1)[:, None]
         pair_tile = (x["ty0"][:, None] + jy) * tiles_x + (x["tx0"][:, None] + jx)
-        lid = jnp.arange(cf, dtype=jnp.int32)
         pair_ok = (x["small"] > 0)[:, None] & (j < x["span"][:, None])
         pair_rank = rank.reshape(-1)[
             jnp.where(pair_ok, pair_tile * cf + lid[:, None], 0)
         ]
-        dest = jnp.where(pair_ok & (pair_rank < k), pair_tile * k + pair_rank, t * k)
-        tile_ids_flat = tile_ids_flat.at[dest.reshape(-1)].set(
+        dest = jnp.where(
+            pair_ok, offsets[jnp.where(pair_ok, pair_tile, 0)] + pair_rank, p_cap
+        )
+        pair_faces = pair_faces.at[dest.reshape(-1)].set(
             jnp.broadcast_to(x["fid"][:, None], dest.shape).reshape(-1), mode="drop"
         )
 
-        # Huge faces of this chunk: compact up to the local budget, then
-        # enumerate each one's own tile range (up to every tile — the
-        # camera-inside-geometry / near-plane-crossing case).
-        hugec = x["huge"] > 0
-        n_huge = jnp.sum(hugec, dtype=jnp.int32)
-        hslot = jnp.cumsum(hugec, dtype=jnp.int32) - 1
-        hdest = jnp.where(hugec & (hslot < huge_budget), hslot, huge_budget)
+        # Huge faces of this chunk: compact the kept ones, then enumerate
+        # each one's own tile range (up to every tile — the camera-
+        # inside-geometry / near-plane-crossing case).
+        hdest = jnp.where(hkeep, hslot - huge_seen, huge_budget)
         hcol = (
             jnp.zeros(huge_budget + 1, dtype=jnp.int32)
-            .at[hdest]
+            .at[jnp.clip(hdest, 0, huge_budget)]
             .set(lid, mode="promise_in_bounds")
         )[:huge_budget]
-        h_active = (jnp.arange(huge_budget) < jnp.minimum(n_huge, huge_budget))[:, None]
+        n_kept = jnp.sum(hkeep, dtype=jnp.int32)
+        h_active = (jnp.arange(huge_budget) < n_kept)[:, None]
         h_span_x = jnp.maximum(x["span_x"][hcol], 1)[:, None]
         h_span = x["span"][hcol][:, None]
         jh = jnp.arange(t, dtype=jnp.int32)[None, :]  # (1, T) worst case
@@ -382,27 +414,39 @@ def bin_triangles(
         h_rank = rank.reshape(-1)[
             jnp.where(h_ok, h_tile * cf + hcol[:, None], 0)
         ]
-        h_dest = jnp.where(h_ok & (h_rank < k), h_tile * k + h_rank, t * k)
-        tile_ids_flat = tile_ids_flat.at[h_dest.reshape(-1)].set(
+        h_dest = jnp.where(
+            h_ok, offsets[jnp.where(h_ok, h_tile, 0)] + h_rank, p_cap
+        )
+        pair_faces = pair_faces.at[h_dest.reshape(-1)].set(
             jnp.broadcast_to(x["fid"][hcol][:, None], h_dest.shape).reshape(-1),
             mode="drop",
         )
 
         return (
-            tile_ids_flat,
-            base + counts_c,
-            huge_dropped + jnp.maximum(n_huge - huge_budget, 0),
+            pair_faces,
+            base + jnp.sum(maskc, axis=1, dtype=jnp.int32),
+            huge_seen + n_huge,
         ), None
 
     init = (
-        jnp.zeros(t * k, dtype=jnp.int32),
+        jnp.zeros(p_cap, dtype=jnp.int32),
         jnp.zeros(t, dtype=jnp.int32),
         jnp.int32(0),
     )
-    (tile_ids_flat, counts_full, huge_dropped), _ = jax.lax.scan(chunk_step, init, xs)
+    (pair_faces, _, _), _ = jax.lax.scan(write_step, init, xs)
 
-    counts = jnp.minimum(counts_full, k)
-    # huge_dropped is a scalar count of dropped faces; land it on one
-    # element so sum(overflow) stays an honest pair count (not T-fold).
-    overflow = (counts_full - counts).at[0].add(huge_dropped)
-    return tile_ids_flat.reshape(t, k), counts, overflow
+    # Dropped pairs: huge faces beyond the global budget lose their whole
+    # span; pairs past pair_capacity are truncated by the drop-mode
+    # scatter (and show up as offsets exceeding p_cap).
+    hb = min(huge_budget, f)
+    hkeep_all_w = jnp.where(huge, f - face_ids, 0)
+    _, hidx = jax.lax.top_k(hkeep_all_w, hb)
+    kept_span = jnp.sum(jnp.where(huge[hidx], span[hidx], 0))
+    huge_pairs_dropped = jnp.sum(jnp.where(huge, span, 0)) - kept_span
+    cap_dropped = jnp.maximum(offsets[-1] - p_cap, 0)
+    return {
+        "pair_faces": pair_faces,
+        "offsets": jnp.minimum(offsets, p_cap),
+        "counts": jnp.diff(jnp.minimum(offsets, p_cap)),
+        "overflow": huge_pairs_dropped + cap_dropped,
+    }

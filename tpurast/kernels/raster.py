@@ -208,93 +208,62 @@ def _raster_kernel(
         jax.lax.fori_loop(0, n_sub, sub_block, 0)
 
 
-def build_segments(tile_counts, n_segments: int, max_blocks_per_tile: int):
-    """Segment tables from bin counts (on device).
-
-    Segments [0, T) are RESERVED: segment t is (tile t, block 0), so every
-    tile unconditionally clears+rasterizes its first chunk — a tile whose
-    output block is never visited would expose uninitialized memory.
-    Extra blocks (dense tiles) are allocated from the remaining headroom
-    by cumsum; ones that don't fit are dropped and counted (missing
-    triangles, never garbage). Tail slots use a no-op sentinel block
-    index (>= max_blocks: no init, no work).
-
-    Returns (seg_tile (G,), seg_block (G,), n_dropped scalar).
-    """
-    t = tile_counts.shape[0]
-    assert n_segments >= t
-    extra = jnp.maximum(-(-tile_counts // CHUNK) - 1, 0)  # blocks beyond 0
-    start = t + jnp.cumsum(extra) - extra  # (T,) first extra slot per tile
-    total = t + jnp.sum(extra)
-
-    # Tile and block are packed into one value so the table builds with a
-    # single scatter (two same-index scatters get fused into a variadic
-    # scatter that crashes the XLA:TPU scatter emitter).
-    nb_pack = jnp.int32(max_blocks_per_tile + 1)
-    sentinel_block = jnp.int32(max_blocks_per_tile)  # no init, no work
-    packed = jnp.full(n_segments, sentinel_block, dtype=jnp.int32)  # tile 0
-
-    # Reserved per-tile block-0 segments.
-    tidx = jnp.arange(t, dtype=jnp.int32)
-    packed = packed.at[tidx].set(tidx * nb_pack)
-
-    # Extra blocks j >= 1 for dense tiles.
-    jb = jnp.arange(1, max_blocks_per_tile, dtype=jnp.int32)[None, :]  # (1, B-1)
-    ok = jb <= extra[:, None]
-    dest = jnp.where(ok, start[:, None] + (jb - 1), n_segments)
-    packed = packed.at[dest.reshape(-1)].set(
-        (tidx[:, None] * nb_pack + jb).reshape(-1), mode="drop"
-    )
-    seg_tile = packed // nb_pack
-    seg_block = packed % nb_pack
-    return seg_tile, seg_block, jnp.maximum(total - n_segments, 0)
-
-
 # Sentinel block index for tail segments: no init, no work. Small enough
 # that sentinel * CHUNK stays far from int32 overflow, larger than any
 # real per-tile block count (2^23 blocks = 2^30 triangles in one tile).
 SENTINEL_BLOCK = 1 << 23
 
 
-def build_segments_unbounded(tile_counts, n_segments: int):
-    """Segment tables from UNCLAMPED bin counts (pair-sort binning).
+def build_segments_grouped(tile_counts, n_segments: int):
+    """Segment tables, TILE-GROUPED: all of a tile's segments consecutive.
 
-    Unlike build_segments (whose extra-block enumeration is a dense
-    (T, max_blocks) matrix — fine when capacity K bounds max_blocks,
-    unusable when counts are unbounded), extra blocks are laid out by a
-    scatter of T markers + a running max: O(T + n_segments).
+    Grouping is a CORRECTNESS requirement, not a layout choice. The
+    raster kernel read-modify-writes its tile's output block across the
+    tile's segments; Pallas keeps an output block resident in VMEM only
+    across CONSECUTIVE grid steps with the same out-index (the standard
+    accumulation pattern). An interleaved schedule (all block-0 segments
+    first, extras later — round 1's layout) revisits out-blocks after
+    moving away, and on real TPU the revisit starts from stale VMEM:
+    dense tiles (>128 binned faces) silently lost earlier chunks.
+    (CPU interpret mode materializes refs, so tests never saw it.)
 
-    Layout matches build_segments: segments [0, T) are the reserved
-    per-tile block-0 slots (every tile clears unconditionally even if
-    truncation drops extras); extras follow in tile order.
-    Returns (seg_tile, seg_block, n_dropped).
+    Layout: tile t occupies segments [start[t], start[t] + blocks[t]);
+    blocks[t] >= 1 always (every tile clears + rasterizes chunk 0), extra
+    blocks are granted by a waterfall over the headroom budget in tile
+    order (early tiles first; a starved tile keeps block 0 and drops the
+    rest, counted). Tail slots map to the LAST tile with a sentinel
+    block index — same out-index as the final real segment, so they
+    neither clear nor flush garbage onto another tile's rectangle.
+
+    Returns (seg_tile (G,), seg_block (G,), n_dropped scalar).
     """
     t = tile_counts.shape[0]
     assert n_segments >= t
     extra = jnp.maximum(-(-tile_counts // CHUNK) - 1, 0)  # blocks beyond 0
-    epos = t + jnp.cumsum(extra) - extra  # first extra slot per tile
-    total = t + jnp.sum(extra)
+    budget = jnp.int32(n_segments - t)
+    csum_before = jnp.cumsum(extra) - extra
+    allowed = jnp.clip(budget - csum_before, 0, extra)  # waterfall
+    blocks = 1 + allowed
+    start = jnp.cumsum(blocks) - blocks  # (T,) all distinct, < n_segments
+    total = t + jnp.sum(allowed)
 
     tidx = jnp.arange(t, dtype=jnp.int32)
-    marker = (
-        jnp.zeros(n_segments, dtype=jnp.int32)
-        .at[jnp.where(extra > 0, epos, n_segments)]
-        .max(tidx + 1, mode="drop")
+    marker = jnp.zeros(n_segments, dtype=jnp.int32).at[start].max(
+        tidx, mode="promise_in_bounds"
     )
-    etile = jax.lax.associative_scan(jnp.maximum, marker) - 1  # (G,) tile or -1
+    seg_tile = jax.lax.associative_scan(jnp.maximum, marker)  # (G,)
     slot = jnp.arange(n_segments, dtype=jnp.int32)
-    in_prefix = slot < t
-    etile_safe = jnp.maximum(etile, 0)
-    seg_tile = jnp.where(in_prefix, slot, etile_safe)
-    seg_block = jnp.where(in_prefix, 0, slot - epos[etile_safe] + 1)
-    live = in_prefix | ((slot < total) & (etile >= 0))
-    seg_tile = jnp.where(live, seg_tile, 0)
+    seg_block = slot - start[seg_tile]
+    live = slot < total
+    # Past `total`, seg_tile is already t-1 (the running max saturates at
+    # the last marker); only the block index needs the no-op sentinel.
     seg_block = jnp.where(live, seg_block, jnp.int32(SENTINEL_BLOCK))
-    return seg_tile, seg_block, jnp.maximum(total - n_segments, 0)
+    return seg_tile, seg_block, jnp.sum(extra) - jnp.sum(allowed)
 
 
-def plan_segments_pairs(bins, *, segment_headroom: int):
-    """Segment schedule from pair-sort binning (geometry.bin_pairs).
+def plan_segments(bins, *, segment_headroom: int):
+    """Segment schedule from binned pairs (geometry.bin_triangles or
+    geometry.bin_pairs — both emit the same compact pair-list form).
 
     Per-segment face ids come straight from the sorted pair list —
     no (T, K) padded bin matrix is ever materialized, so per-tile
@@ -306,7 +275,7 @@ def plan_segments_pairs(bins, *, segment_headroom: int):
     pair_faces = bins["pair_faces"]
     t = counts.shape[0]
     n_segments = t + segment_headroom
-    seg_tile, seg_block, dropped = build_segments_unbounded(counts, n_segments)
+    seg_tile, seg_block, dropped = build_segments_grouped(counts, n_segments)
 
     lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
     block = jnp.minimum(seg_block, SENTINEL_BLOCK)[:, None]
@@ -319,35 +288,6 @@ def plan_segments_pairs(bins, *, segment_headroom: int):
         "seg_faces": seg_faces,
         "n_segments": n_segments,
         "max_blocks": SENTINEL_BLOCK,
-        "dropped": dropped,
-    }
-
-
-def plan_segments(tile_counts, tile_ids, *, segment_headroom: int):
-    """Build the segment schedule shared by the raster and resolve passes.
-
-    Returns dict with seg_tile/seg_block (G,), seg_faces (G*C,) gathered
-    face ids, n_segments, max_blocks, and the dropped-segment count.
-    """
-    t, k = tile_ids.shape
-    max_blocks = -(-k // CHUNK)
-    # Upper bound on real segments is t*max_blocks; headroom only matters
-    # when the capacity K allows more blocks than the headroom covers.
-    n_segments = min(t + segment_headroom, t * max_blocks)
-    seg_tile, seg_block, dropped = build_segments(tile_counts, n_segments, max_blocks)
-
-    # Per-segment triangle slots -> face ids (row-gather source indices).
-    lane = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
-    slot = jnp.minimum(seg_block[:, None] * CHUNK + lane, k - 1)  # (G, C)
-    seg_faces = tile_ids.reshape(-1)[
-        (seg_tile[:, None] * k + slot).reshape(-1)
-    ]  # (G*C,)
-    return {
-        "seg_tile": seg_tile,
-        "seg_block": seg_block,
-        "seg_faces": seg_faces,
-        "n_segments": n_segments,
-        "max_blocks": max_blocks,
         "dropped": dropped,
     }
 
@@ -429,9 +369,8 @@ def rasterize_tiles(
     static_argnames=("tile_h", "tile_w", "tiles_x", "tiles_y", "clear_depth", "segment_headroom"),
 )
 def rasterize_visibility(
-    tile_counts,  # (T,) int32
+    bins,  # dict from geometry.bin_triangles / bin_pairs
     setup,  # (F, SETUP_WIDTH) f32 triangle setup (see geometry.SETUP_WIDTH)
-    tile_ids,  # (T, K) int32 binned face ids
     *,
     tile_h: int,
     tile_w: int,
@@ -447,9 +386,9 @@ def rasterize_visibility(
     triangle covers the pixel. dropped_segments > 0 means segment_headroom
     was too small for this frame and triangles were not rasterized.
     """
-    plan = plan_segments(tile_counts, tile_ids, segment_headroom=segment_headroom)
+    plan = plan_segments(bins, segment_headroom=segment_headroom)
     vis = rasterize_tiles(
-        tile_counts,
+        bins["counts"],
         setup,
         plan,
         tile_h=tile_h,

@@ -85,7 +85,7 @@ def render_frame_sharded(
         # + (c + b*dy).
         setup_local = _shift_setup_rows(s["setup"], dy)
         aabb_local = s["aabb"] - jnp.array([0.0, 1.0, 0.0, 1.0]) * dy
-        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+        bins = geometry.bin_triangles(
             aabb_local,
             s["valid"],
             tiles_x,
@@ -94,10 +94,10 @@ def render_frame_sharded(
             tile_h,
             bin_capacity,
         )
+        overflow = bins["overflow"]
         depth, fid, dropped_segments = raster.rasterize_visibility(
-            tile_counts,
+            bins,
             setup_local,
-            tile_ids,
             tile_h=tile_h,
             tile_w=tile_w,
             tiles_x=tiles_x,
@@ -158,7 +158,7 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
     tiles_y = -(-height // config.tile_h)
     tiles_y = -(-tiles_y // n_dev) * n_dev  # divisible by device count
     quantum = 128
-    cap = config.bin_capacity or int(scene_dev["faces"].shape[0])
+    cap = config.bin_capacity or 4 * int(scene_dev["faces"].shape[0])
     cap = -(-cap // quantum) * quantum
     fn = jax.jit(
         functools.partial(

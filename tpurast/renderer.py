@@ -81,11 +81,8 @@ def render_frame(
         bins = geometry.bin_pairs(
             setup_out["aabb"], setup_out["valid"], tiles_x, tiles_y, tile_w, tile_h
         )
-        tile_counts = bins["counts"]
-        overflow = bins["overflow"]
-        plan = raster.plan_segments_pairs(bins, segment_headroom=segment_headroom)
     else:
-        tile_ids, tile_counts, overflow = geometry.bin_triangles(
+        bins = geometry.bin_triangles(
             setup_out["aabb"],
             setup_out["valid"],
             tiles_x,
@@ -94,9 +91,9 @@ def render_frame(
             tile_h,
             bin_capacity,
         )
-        plan = raster.plan_segments(
-            tile_counts, tile_ids, segment_headroom=segment_headroom
-        )
+    tile_counts = bins["counts"]
+    overflow = bins["overflow"]
+    plan = raster.plan_segments(bins, segment_headroom=segment_headroom)
     faces = scene["faces"]
     light_kwargs = dict(
         light_direction=light_direction,
@@ -231,14 +228,12 @@ class Renderer:
             self.binning = "pairs" if t_total * f_pad > 150_000_000 else "scan"
         else:
             self.binning = cfg.binning
-        # Auto bin capacity (scan path only): ideally every face can land
-        # in one tile (never overflows), but the per-tile gather is T*K
-        # rows — for large tile counts cap K to a memory budget and
-        # surface drops via the bin_overflow counter. The pairs path has
-        # no per-tile capacity at all.
+        # Pair-buffer capacity (scan path): total (tile, face) pairs per
+        # frame. Typical scenes produce < 2 pairs/face (tile-sized
+        # triangles); 4x is generous headroom and truncation is counted
+        # in bin_overflow. The sort path sizes itself (TPF * F slots).
         if cfg.bin_capacity is None:
-            budget = max(2048, 48_000_000 // max(1, t_total))
-            cap = min(f_pad, budget)
+            cap = max(4 * f_pad, 16384)
         else:
             cap = cfg.bin_capacity
         self.bin_capacity = _round_up(max(cap, 128), 128)
