@@ -232,7 +232,22 @@ inline int unquantize_unsigned(int v, int w) {
     return ((v << 15) + 0x4000) >> (w - 1);
 }
 
-void decode_bc6h_block(const uint8_t* block, uint16_t* out /*16*3 half bits*/) {
+// Signed unquantize (D3D11.3 §19.5.11.3): magnitude path saturating at
+// the (w-1)-bit max to +/-0x7FFF.
+inline int unquantize_signed(int v, int w) {
+    if (w >= 16) return v;
+    int s = v < 0 ? -1 : 1;
+    int av = v < 0 ? -v : v;
+    int maxv = (1 << (w - 1)) - 1;
+    int o;
+    if (av == 0) o = 0;
+    else if (av >= maxv) o = 0x7FFF;
+    else o = ((av << 15) + 0x4000) >> (w - 1);
+    return s * o;
+}
+
+void decode_bc6h_block(const uint8_t* block, uint16_t* out /*16*3 half bits*/,
+                       bool signed_fmt = false) {
     int code = (block[0] & 2) ? (block[0] & 0x1F) : (block[0] & 3);
     Bc6Mode m;
     if (!bc6_mode_of(code, &m)) {
@@ -251,18 +266,32 @@ void decode_bc6h_block(const uint8_t* block, uint16_t* out /*16*3 half bits*/) {
         }
     }
     int64_t mask = (int64_t(1) << m.epb) - 1;
+    if (signed_fmt) {
+        // Signed endpoints are two's complement at the storage width;
+        // delta bases always, and every endpoint for non-delta modes.
+        for (int c = 0; c < 3; ++c) {
+            fields[RW + c] = sign_extend(fields[RW + c], m.epb);
+            if (!m.dr) {
+                for (int e = 1; e < 4; ++e)
+                    fields[RW + c + e * 3] = sign_extend(fields[RW + c + e * 3], m.epb);
+            }
+        }
+    }
     if (m.dr) {
         const int dbits[3] = {m.dr, m.dg, m.db};
         for (int c = 0; c < 3; ++c) {
             int64_t base = fields[RW + c];
             for (int e = 1; e < 4; ++e) {
                 int64_t* slot = &fields[RW + c + e * 3];
-                *slot = (base + sign_extend(*slot, dbits[c])) & mask;
+                int64_t s = (base + sign_extend(*slot, dbits[c])) & mask;
+                *slot = signed_fmt ? sign_extend(s, m.epb) : s;
             }
         }
     }
     int uq[12];
-    for (int k = 0; k < 12; ++k) uq[k] = unquantize_unsigned(int(fields[k]), m.epb);
+    for (int k = 0; k < 12; ++k)
+        uq[k] = signed_fmt ? unquantize_signed(int(fields[k]), m.epb)
+                           : unquantize_unsigned(int(fields[k]), m.epb);
 
     int partition = m.two ? int(fields[D]) : 0;
     int ib = m.two ? 3 : 4;
@@ -280,7 +309,13 @@ void decode_bc6h_block(const uint8_t* block, uint16_t* out /*16*3 half bits*/) {
             int a = uq[c + region * 6];      // (RW,GW,BW) / (RY,GY,BY)
             int b = uq[3 + c + region * 6];  // (RX,GX,BX) / (RZ,GZ,BZ)
             int v = interp(a, b, w);
-            out[i * 3 + c] = uint16_t((v * 31) >> 6);
+            if (signed_fmt) {
+                // Scale magnitude by 31/32; sign-magnitude half bits.
+                int mag = ((v < 0 ? -v : v) * 31) >> 5;
+                out[i * 3 + c] = uint16_t(v < 0 ? (0x8000 | mag) : mag);
+            } else {
+                out[i * 3 + c] = uint16_t((v * 31) >> 6);
+            }
         }
     }
 }
@@ -312,6 +347,11 @@ void decode_bc4(const uint8_t* blocks, int64_t n, uint8_t* out) {
 
 void decode_bc6h(const uint8_t* blocks, int64_t n, uint16_t* out) {
     for (int64_t i = 0; i < n; ++i) decode_bc6h_block(blocks + i * 16, out + i * 48);
+}
+
+void decode_bc6h_sf(const uint8_t* blocks, int64_t n, uint16_t* out) {
+    for (int64_t i = 0; i < n; ++i)
+        decode_bc6h_block(blocks + i * 16, out + i * 48, /*signed_fmt=*/true);
 }
 
 }  // extern "C"

@@ -206,6 +206,108 @@ def test_bc6h_fuzz_all_modes_vs_pillow(mode):
         assert np.abs(got - ref.astype(int)).max() <= 1, f"mode {mode} block {i}"
 
 
+def _make_bc6h_block(mode, fieldvals, idx_bits):
+    """Pack a BC6H block from named field values via the mode layout
+    table — lets the SF16 fuzz constrain endpoint magnitudes so decoded
+    values land in [0, 1] (the only range Pillow's u8 output resolves)."""
+    from tpurast.assets import bc6h as B
+    from tpurast.assets._bc7_tables import ANCHOR_SECOND_2
+
+    spec = B._MODES[mode]
+    bits = np.zeros(128, np.uint8)
+    nh = 2 if mode in (0, 1) else 5
+    for k in range(nh):
+        bits[k] = (mode >> k) & 1
+    pos = nh
+    for name, hi, lo in spec["layout"]:
+        if hi >= lo:
+            nb = hi - lo + 1
+            v = (fieldvals.get(name, 0) >> lo) & ((1 << nb) - 1)
+            for k in range(nb):
+                bits[pos] = (v >> k) & 1
+                pos += 1
+        else:
+            nb = lo - hi + 1
+            for k in range(nb):
+                bits[pos] = (fieldvals.get(name, 0) >> (lo - k)) & 1
+                pos += 1
+    two = mode in B.TWO_REGION_MODES
+    ib = 3 if two else 4
+    anchor2 = int(ANCHOR_SECOND_2[fieldvals.get("d", 0) & 31]) if two else -1
+    for i in range(16):
+        nb = ib - 1 if (i == 0 or i == anchor2) else ib
+        v = idx_bits[i] & ((1 << nb) - 1)
+        for k in range(nb):
+            bits[pos] = (v >> k) & 1
+            pos += 1
+    return np.packbits(bits, bitorder="little")
+
+
+@pytest.mark.parametrize("mode", sorted([0, 1, 2, 3, 6, 7, 10, 11, 14, 15, 18, 22, 26, 30]))
+def test_bc6h_signed_fuzz_vs_pillow(mode):
+    # SF16 (vkFormat 144, src/wgpu.zig:138): Pillow's BC6HS u8 output is
+    # only meaningful for decoded values in [0, 1] (negatives come back
+    # mangled by its half->u8 conversion), so endpoint magnitudes are
+    # constrained to keep results in range and negative pixels are
+    # excluded from the comparison.
+    from tpurast.assets import bc6h as B
+
+    spec = B._MODES[mode]
+    rng = np.random.default_rng(500 + mode)
+    epb = spec["epb"]
+    blocks = []
+    for _ in range(96):
+        fv = {"d": int(rng.integers(0, 32))}
+        base_mag = 1 << max(epb - 3, 1)
+        for ch in "rgb":
+            fv[ch + "w"] = int(rng.integers(0, base_mag))
+        if spec["delta"] is not None:
+            db = dict(zip("rgb", spec["delta"]))
+            for ch in "rgb":
+                for epn in "xyz":
+                    fv[ch + epn] = int(rng.integers(0, 1 << max(db[ch] - 2, 1)))
+        else:
+            for ch in "rgb":
+                for epn in "xyz":
+                    fv[ch + epn] = int(rng.integers(0, base_mag))
+        blocks.append(_make_bc6h_block(mode, fv, list(rng.integers(0, 16, 16))))
+    blocks = np.stack(blocks)
+    mine = B.decode_bc6h(blocks, signed=True)
+    ref = np.stack(
+        [
+            np.asarray(Image.frombytes("RGB", (4, 4), b.tobytes(), "bcn", (6, "BC6HS")))
+            for b in blocks
+        ]
+    ).astype(int)
+    got = np.clip(np.round(mine * 255), 0, 255).astype(int)
+    nonneg = mine >= 0
+    assert np.where(nonneg, np.abs(got - ref), 0).max() <= 1
+
+
+def test_bc6h_signed_negative_halves():
+    # Negative endpoints decode to sign-magnitude half bits; basic sanity
+    # on the signed-only path (Pillow can't check this range).
+    from tpurast.assets.bc6h import decode_bc6h
+
+    # Mode 0x03 (non-delta, epb 10): endpoint 0x3FF sign-extends to -1.
+    fv = dict(rw=0x3FF, gw=0x3FF, bw=0x3FF, rx=0x3FF, gx=0x3FF, bx=0x3FF)
+    blk = _make_bc6h_block(0x03, fv, [0] * 16)
+    out = decode_bc6h(blk[None], signed=True)[0]
+    assert (out < 0).all() and np.isfinite(out).all()
+
+
+def test_bc6h_decode_level_sf16():
+    # decode_level routes bc6h_sf without raising and matches the
+    # direct decoder (both native and numpy paths).
+    from tpurast.assets import bc6h as B
+
+    rng = np.random.default_rng(9)
+    blocks = rng.integers(0, 256, (4, 16), dtype=np.uint8)
+    img = bcdec.decode_level(blocks.tobytes(), "bc6h_sf", 8, 8)
+    direct = bcdec.assemble_blocks(B.decode_bc6h(blocks, signed=True), 2, 2, 8, 8)
+    np.testing.assert_array_equal(img, direct)
+
+
 def test_bc6h_decode_level_roundtrip(data_dir):
     t = ktx2.load_ktx2(data_dir / "textures/missing_bc6u.ktx2")
     img = bcdec.decode_level(t.levels[0].data, t.format_name, t.width, t.height)
@@ -233,6 +335,9 @@ def test_native_decoders_match_numpy():
     np.testing.assert_array_equal(native.decode_bc4(b4), bcdec.decode_bc4(b4))
     b6 = rng.integers(0, 256, (4096, 16), dtype=np.uint8)
     np.testing.assert_array_equal(native.decode_bc6h(b6), np_bc6h(b6))
+    np.testing.assert_array_equal(
+        native.decode_bc6h(b6, signed=True), np_bc6h(b6, signed=True)
+    )
 
 
 def test_decode_level_native_fallback_equivalence(data_dir, monkeypatch):

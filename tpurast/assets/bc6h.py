@@ -176,6 +176,20 @@ def _unquantize_unsigned(v: np.ndarray, w: int) -> np.ndarray:
     return out
 
 
+def _unquantize_signed(v: np.ndarray, w: int) -> np.ndarray:
+    """Signed unquantize (D3D11.3 §19.5.11.3): operate on |v|, saturate
+    at the (w-1)-bit magnitude max to 0x7FFF, restore the sign."""
+    if w >= 16:
+        return v
+    s = v < 0
+    av = np.abs(v)
+    maxv = (1 << (w - 1)) - 1
+    out = ((av << 15) + 0x4000) >> (w - 1)
+    out = np.where(av == 0, 0, out)
+    out = np.where(av >= maxv, 0x7FFF, out)
+    return np.where(s, -out, out)
+
+
 def _half_bits_to_f32(h: np.ndarray) -> np.ndarray:
     return h.astype(np.uint16).view(np.float16).astype(np.float32)
 
@@ -183,12 +197,13 @@ def _half_bits_to_f32(h: np.ndarray) -> np.ndarray:
 def decode_bc6h(blocks: np.ndarray, signed: bool = False) -> np.ndarray:
     """Decode BC6H blocks. (N, 16) uint8 -> (N, 4, 4, 3) float32.
 
-    Only the unsigned (UF16) variant is fully supported — the reference
-    maps both 143 (UF) and 144 (SF) but ships only UF assets
-    (data/textures/*_bc6u.ktx2).
+    Both variants the reference maps (src/wgpu.zig:138-139): unsigned
+    UF16 (vkFormat 143, the shipped *_bc6u.ktx2 assets) and signed SF16
+    (144). The signed path sign-extends endpoints at their storage
+    width, unquantizes on magnitude saturating to +/-0x7FFF, and scales
+    by 31/32 (vs 31/64 unsigned) before reinterpreting as half bits
+    (D3D11.3 §19.5.11; fuzz-validated vs Pillow's BC6HS decoder).
     """
-    if signed:
-        raise NotImplementedError("BC6H SF16: no reference asset uses it yet")
     blocks = np.ascontiguousarray(blocks, dtype=np.uint8).reshape(-1, 16)
     n = blocks.shape[0]
     bits = _bits_of(blocks)
@@ -227,16 +242,25 @@ def decode_bc6h(blocks: np.ndarray, signed: bool = False) -> np.ndarray:
         epb = spec["epb"]
         mask = (1 << epb) - 1
         e = {k: fields[k] for k in fields}
+        if signed:
+            # Signed endpoints are two's complement at the storage width.
+            for chan in "rgb":
+                e[chan + "w"] = _sign_extend(e[chan + "w"], epb)
+                if spec["delta"] is None:
+                    for epn in ("x", "y", "z"):
+                        e[chan + epn] = _sign_extend(e[chan + epn], epb)
         if spec["delta"] is not None:
             dr, dg, db = spec["delta"]
             for chan, dbits in (("r", dr), ("g", dg), ("b", db)):
                 base = e[chan + "w"]
                 for epn in ("x", "y", "z"):
                     d = _sign_extend(e[chan + epn], dbits)
-                    e[chan + epn] = (base + d) & mask
+                    s = (base + d) & mask
+                    e[chan + epn] = _sign_extend(s, epb) if signed else s
 
         # Unquantize all endpoints.
-        uq = {k: _unquantize_unsigned(e[k], epb) for k in ("rw", "gw", "bw", "rx", "gx", "bx", "ry", "gy", "by", "rz", "gz", "bz")}
+        _unq = _unquantize_signed if signed else _unquantize_unsigned
+        uq = {k: _unq(e[k], epb) for k in ("rw", "gw", "bw", "rx", "gx", "bx", "ry", "gy", "by", "rz", "gz", "bz")}
 
         ib = 3 if two else 4
         weights = W3 if two else W4
@@ -279,7 +303,13 @@ def decode_bc6h(blocks: np.ndarray, signed: bool = False) -> np.ndarray:
                 interp = (a * (64 - w) + bb * w + 32) >> 6
                 px[:, :, c] = np.where(m, interp, px[:, :, c])
 
-        half = (px * 31) >> 6  # final unsigned scale -> half bits
+        if signed:
+            # Signed finish: scale magnitude by 31/32, store sign-magnitude
+            # half bits (negative halves are 0x8000 | magnitude).
+            mag = (np.abs(px) * 31) >> 5
+            half = np.where(px < 0, 0x8000 | mag, mag)
+        else:
+            half = (px * 31) >> 6  # final unsigned scale -> half bits
         out[sel] = _half_bits_to_f32(half)
 
     return out.reshape(n, 4, 4, 3)

@@ -60,6 +60,7 @@ def _load():
     lib.decode_bc7.argtypes = [u8p, ctypes.c_int64, u8p]
     lib.decode_bc4.argtypes = [u8p, ctypes.c_int64, u8p]
     lib.decode_bc6h.argtypes = [u8p, ctypes.c_int64, u16p]
+    lib.decode_bc6h_sf.argtypes = [u8p, ctypes.c_int64, u16p]
 
     from tpurast.assets import _bc7_tables as t
 
@@ -96,10 +97,9 @@ def decode_bc4(blocks: np.ndarray) -> np.ndarray:
 
 
 def decode_bc6h(blocks: np.ndarray, signed: bool = False) -> np.ndarray:
-    if signed:
-        raise NotImplementedError("BC6H SF16: no reference asset uses it yet")
     lib = _load()
     blocks = np.ascontiguousarray(blocks, dtype=np.uint8).reshape(-1, 16)
     half = np.empty((blocks.shape[0], 16, 3), dtype=np.uint16)
-    lib.decode_bc6h(blocks, blocks.shape[0], half.reshape(-1))
+    fn = lib.decode_bc6h_sf if signed else lib.decode_bc6h
+    fn(blocks, blocks.shape[0], half.reshape(-1))
     return half.view(np.float16).astype(np.float32).reshape(-1, 4, 4, 3)
