@@ -1,0 +1,163 @@
+"""tpurast-bench CLI: the benchmark entry point (see repo bench.py).
+
+Prints ONE JSON line with fps/p50/Mtris plus the honest present-loop
+(host-visible) frame rate and the dropped-pair counter.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--data-dir", default="/root/reference/data")
+    ap.add_argument("--texture-dtype", default=None)
+    ap.add_argument("--tile-h", type=int, default=None)
+    ap.add_argument("--tile-w", type=int, default=None)
+    ap.add_argument(
+        "--scene",
+        default="demo",
+        choices=["demo", "dragons64", "hdr", "porsche_class"],
+        help="demo = reference Engine.init scene; dragons64 = BASELINE config #4",
+    )
+    ap.add_argument("--save", default=None, help="save last frame PNG here")
+    args = ap.parse_args()
+
+    import jax
+
+    from tpurast.camera import Camera
+    from tpurast.config import RendererConfig
+    from tpurast.device.scene import load_demo_scene
+    from tpurast.present import Presenter
+    from tpurast.renderer import Renderer
+
+    if args.scene == "dragons64":
+        from tpurast.device.scene import load_instanced_dragons
+
+        scene = load_instanced_dragons(args.data_dir, 64)
+    elif args.scene == "hdr":
+        from tpurast.device.scene import load_hdr_scene
+
+        scene = load_hdr_scene(args.data_dir)
+    elif args.scene == "porsche_class":
+        from tpurast.device.scene import load_porsche_class_scene
+
+        scene = load_porsche_class_scene(args.data_dir)
+    else:
+        scene = load_demo_scene(args.data_dir)
+    overrides = {}
+    if args.texture_dtype:
+        overrides["texture_dtype"] = args.texture_dtype
+    if args.tile_h:
+        overrides["tile_h"] = args.tile_h
+    if args.tile_w:
+        overrides["tile_w"] = args.tile_w
+    cfg = RendererConfig(width=args.width, height=args.height, **overrides)
+    renderer = Renderer(scene, cfg)
+
+    # Flythrough cameras (precomputed uniforms so the loop measures only
+    # render + readback): slow orbit near the crate/dragon like the
+    # reference screenshots.
+    cams = []
+    for i in range(args.frames + args.warmup):
+        ang = 0.4 + 0.01 * i
+        pos = np.array([1.2 * np.sin(ang), 0.75, -1.2 * np.cos(ang)], dtype=np.float32)
+        cams.append(Camera.from_target(pos, [0.0, 0.95, 0.0]))
+    uniforms = [renderer.frame_uniforms(c) for c in cams]
+
+    def sync(frame):
+        # Force completion with a tiny fetch (the axon tunnel's
+        # block_until_ready does not block; full-frame fetches measure
+        # tunnel bandwidth, not the device — the reference's 1.33 ms
+        # baseline is likewise device-side frame time with on-GPU present).
+        np.asarray(frame["color"][0, 0, 0])
+
+    # Warmup / compile.
+    for u in uniforms[: args.warmup]:
+        sync(renderer._frame_fn(renderer.scene, *u))
+
+    # Device frame time, measured in windows of `group` frames bracketed
+    # by one sync each (amortizes the ~30 ms tunnel roundtrip to ~2 ms
+    # per frame at 16; the reference's 1.33 ms overlay number is likewise
+    # pure device-side frame time).
+    group = 16
+    t0 = time.perf_counter()
+    times = []
+    dropped_total = 0
+    frame = None
+    it = iter(uniforms[args.warmup :])
+    batch = list(it)
+    for g in range(0, len(batch), group):
+        prev = time.perf_counter()
+        for u in batch[g : g + group]:
+            frame = renderer._frame_fn(renderer.scene, *u)
+        sync(frame)
+        now = time.perf_counter()
+        times.extend([(now - prev) / len(batch[g : g + group])] * len(batch[g : g + group]))
+        # Honest-overflow accounting: an undersized bin capacity would
+        # silently drop triangles AND flatter the benchmark — fetch the
+        # counter per group (frame already synced; this is a scalar).
+        dropped_total += int(np.asarray(frame["bin_overflow"]))
+    wall = time.perf_counter() - t0
+
+    # Config #5 (60 Hz flythrough with device->host readback), measured
+    # HONESTLY: the timed loop includes the double-buffered full-frame
+    # readback, so present_fps is the host-visible frame rate.
+    presenter = Presenter()
+    last_host = None
+    n_present = min(len(batch), 48)
+    tp0 = time.perf_counter()
+    for u in batch[:n_present]:
+        img = presenter.present(renderer._frame_fn(renderer.scene, *u)["color"])
+        if img is not None:
+            last_host = img
+    tail = presenter.flush()
+    present_wall = time.perf_counter() - tp0
+    present_ms = present_wall / max(n_present, 1) * 1e3
+    if tail is not None:
+        last_host = tail
+
+    times_ms = np.asarray(times) * 1e3
+    p50 = float(np.percentile(times_ms, 50))
+    fps = 1000.0 / p50
+    tris = scene.n_faces
+    mtris_per_s = tris * fps / 1e6
+
+    if args.save and last_host is not None:
+        from PIL import Image
+
+        Image.fromarray(last_host[..., :3]).save(args.save)
+
+    baseline_fps = 1000.0 / 1.33230  # reference overlay frametime
+    result = {
+        "metric": f"fps_{args.width}x{args.height}_{args.scene}_scene",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / baseline_fps, 4),
+        "p50_frame_ms": round(p50, 4),
+        "mean_frame_ms": round(float(times_ms.mean()), 4),
+        "mtris_per_sec": round(mtris_per_s, 2),
+        "triangles": tris,
+        "frames": args.frames,
+        "wall_s": round(wall, 2),
+        "dropped_pairs": dropped_total,
+        "present_ms_per_frame": round(present_ms, 4),
+        "present_fps": round(1000.0 / present_ms, 2) if present_ms > 0 else None,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "note": "baseline=1.3323ms @~720p (reference overlay); porsche stripped from mount on both sides",
+    }
+    print(json.dumps(result))
+    return 0
+
+

@@ -58,6 +58,13 @@ class Engine:
         # Headless analog: cap the loop at 60 Hz when enabled.
         self.vsync = False
         self._last_instant: float | None = None
+        # Overflow surfacing (device-lost analog, src/Renderer.zig:1209):
+        # the previous frame's bin_overflow scalar is fetched one frame
+        # late so the read never stalls the async pipeline. Counts
+        # dropped (tile, face) pairs + dropped raster segments.
+        self._pending_overflow = None
+        self.overflow_frames = 0
+        self.dropped_total = 0
         self.frame_index = 0
 
     # -- one tick: update + render + present ------------------------------
@@ -85,6 +92,20 @@ class Engine:
 
         frame = self.renderer.render(self.camera)
         image = self.presenter.present(frame["color"])
+        # Check the PREVIOUS frame's overflow counter (completed by now —
+        # fetching it does not block this frame's dispatch).
+        if self._pending_overflow is not None:
+            dropped = int(np.asarray(self._pending_overflow))
+            if dropped:
+                self.overflow_frames += 1
+                self.dropped_total += dropped
+                log.warning(
+                    "frame %d: %d binned pairs/segments dropped — raise "
+                    "bin_capacity/segment_headroom (RendererConfig)",
+                    self.frame_index - 1,
+                    dropped,
+                )
+        self._pending_overflow = frame["bin_overflow"]
         if self.vsync:
             budget = 1.0 / 60.0
             elapsed = time.perf_counter() - now

@@ -147,18 +147,23 @@ def triangle_setup(clip, faces, n_faces, width, height):
     return {"setup": setup, "valid": valid, "aabb": aabb, "det": det}
 
 
-def _tile_ranges(aabb, valid, tiles_x, tiles_y, tile_w, tile_h):
+def _tile_ranges(aabb, valid, tiles_x, tiles_y, tile_w, tile_h, ty_base=0):
     """Clamped per-face tile ranges + tile-grid intersection culling.
 
     The intersection test runs on the UNCLAMPED ranges: a face whose AABB
-    lies entirely outside the tile grid (possible for slab-local binning
-    in the sharded path, where the grid covers one device's rows) must
-    not bin at all — clamping alone would snap it onto the border tiles.
+    lies entirely outside the tile grid (possible for slab binning in the
+    sharded path, where the grid covers one device's tile rows) must not
+    bin at all — clamping alone would snap it onto the border tiles.
+
+    ty_base (scalar tile rows, default 0) selects a slab: tile rows are
+    computed in GLOBAL coordinates first and then offset, so every device
+    floors the exact same quotients as a single-chip frame — slab bins
+    are bit-identical to the corresponding rows of the full-frame bins.
     """
     btx0 = jnp.floor(aabb[:, 0] / tile_w)
-    bty0 = jnp.floor(aabb[:, 1] / tile_h)
+    bty0 = jnp.floor(aabb[:, 1] / tile_h) - ty_base
     btx1 = jnp.floor(aabb[:, 2] / tile_w)
-    bty1 = jnp.floor(aabb[:, 3] / tile_h)
+    bty1 = jnp.floor(aabb[:, 3] / tile_h) - ty_base
     intersects = (
         (btx1 >= 0.0) & (bty1 >= 0.0) & (btx0 < tiles_x) & (bty0 < tiles_y)
     )
@@ -169,6 +174,12 @@ def _tile_ranges(aabb, valid, tiles_x, tiles_y, tile_w, tile_h):
     return tx0, ty0, tx1, ty1, valid & intersects
 
 
+# Binning defaults, shared with the renderer's segment-headroom sizing
+# (total pairs <= TILES_PER_FACE*F + HUGE_BUDGET*T).
+TILES_PER_FACE = 8
+HUGE_BUDGET = 64
+
+
 def bin_pairs(
     aabb,
     valid,
@@ -176,8 +187,9 @@ def bin_pairs(
     tiles_y,
     tile_w,
     tile_h,
-    tiles_per_face: int = 8,
-    huge_budget: int = 64,
+    tiles_per_face: int = TILES_PER_FACE,
+    huge_budget: int = HUGE_BUDGET,
+    ty_base=0,
 ):
     """Pair-expansion binning: O(F * tiles_per_face + pairs log pairs).
 
@@ -211,7 +223,7 @@ def bin_pairs(
     f = aabb.shape[0]
     t = tiles_x * tiles_y
     tx0, ty0, tx1, ty1, valid = _tile_ranges(
-        aabb, valid, tiles_x, tiles_y, tile_w, tile_h
+        aabb, valid, tiles_x, tiles_y, tile_w, tile_h, ty_base
     )
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
@@ -275,8 +287,9 @@ def bin_triangles(
     tile_w,
     tile_h,
     pair_capacity,
-    tiles_per_face: int = 8,
-    huge_budget: int = 64,
+    tiles_per_face: int = TILES_PER_FACE,
+    huge_budget: int = HUGE_BUDGET,
+    ty_base=0,
     face_chunk: int = 8192,
 ):
     """Tiled binning: chunked rank-by-cumsum scan -> COMPACT pair lists.
@@ -311,7 +324,7 @@ def bin_triangles(
     t = tiles_x * tiles_y
     p_cap = pair_capacity
     tx0, ty0, tx1, ty1, valid = _tile_ranges(
-        aabb, valid, tiles_x, tiles_y, tile_w, tile_h
+        aabb, valid, tiles_x, tiles_y, tile_w, tile_h, ty_base
     )
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1

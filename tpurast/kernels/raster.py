@@ -80,6 +80,7 @@ def _raster_kernel(
     counts_ref,  # SMEM (T,) int32 — per-tile bin sizes
     seg_tile_ref,  # SMEM (G,) int32 — segment -> tile
     seg_block_ref,  # SMEM (G,) int32 — segment -> chunk index within tile
+    row0_ref,  # SMEM (1,) int32 — global tile-row offset (sharded slabs)
     setup_ref,  # VMEM (CHUNK, SETUP_WIDTH) f32 — this segment's setup rows
     out_ref,  # VMEM (2, tile_h, tile_w) f32: plane 0 depth, 1 face id (-1 none)
     *,
@@ -92,7 +93,10 @@ def _raster_kernel(
     g = pl.program_id(0)
     t = seg_tile_ref[g]
     j = seg_block_ref[g]
-    ty = t // tiles_x
+    # Pixel coordinates are GLOBAL (tile row + slab offset): a sharded
+    # slab evaluates the exact same edge arithmetic as the single-chip
+    # frame, so slab output rows are bit-identical to a full-frame render.
+    ty = t // tiles_x + row0_ref[0]
     tx = t % tiles_x
 
     @pl.when(j == 0)
@@ -302,6 +306,7 @@ def rasterize_tiles(
     tiles_x: int,
     tiles_y: int,
     clear_depth: float = 0.0,
+    tile_row_offset=None,
 ):
     """Run the visibility kernel over all tiles.
 
@@ -310,11 +315,19 @@ def rasterize_tiles(
     H = tiles_y*tile_h, W = tiles_x*tile_w. Each segment's output block
     is its tile's (2, tile_h, tile_w) framebuffer rectangle — no detile
     transpose ever happens (it cost ~4 ms/frame at 1080p as XLA ops).
+
+    tile_row_offset (scalar int32, default 0) shifts pixel-coordinate
+    evaluation down by whole tile rows WITHOUT changing which output
+    rows are written — the sharded path renders its slab with global
+    coordinates, bit-identical to the same rows of a full-frame render.
     """
     assert tile_h % SUB == 0, "tile height must be a multiple of the sublane width"
     assert tile_w % 128 == 0, "tile width must be a multiple of the lane width"
     n_segments = plan["n_segments"]
     max_blocks = plan["max_blocks"]
+    if tile_row_offset is None:
+        tile_row_offset = jnp.zeros((), jnp.int32)
+    row0 = jnp.reshape(tile_row_offset.astype(jnp.int32), (1,))
 
     # Row gather: (G*CHUNK, SETUP_WIDTH), sublane-major (one DMA block of
     # CHUNK contiguous rows per segment; no transpose needed).
@@ -328,14 +341,14 @@ def rasterize_tiles(
         clear_depth=clear_depth,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # counts, seg_tile, seg_block
+        num_scalar_prefetch=4,  # counts, seg_tile, seg_block, row0
         grid=(n_segments,),
         in_specs=[
             pl.BlockSpec(
                 (CHUNK, SETUP_WIDTH),
                 # Tail segments (sentinel block index) all map to block 0:
                 # a repeated block index skips the DMA entirely.
-                lambda g, counts, seg_tile, seg_block: (
+                lambda g, counts, seg_tile, seg_block, row0: (
                     jnp.where(seg_block[g] >= jnp.int32(max_blocks), 0, g),
                     0,
                 ),
@@ -345,7 +358,7 @@ def rasterize_tiles(
         out_specs=[
             pl.BlockSpec(
                 (2, tile_h, tile_w),
-                lambda g, counts, seg_tile, seg_block: (
+                lambda g, counts, seg_tile, seg_block, row0: (
                     0,
                     seg_tile[g] // tiles_x,
                     seg_tile[g] % tiles_x,
@@ -361,7 +374,7 @@ def rasterize_tiles(
             jax.ShapeDtypeStruct((2, tiles_y * tile_h, tiles_x * tile_w), jnp.float32),
         ],
         interpret=_k.interpret_mode(),
-    )(tile_counts, plan["seg_tile"], plan["seg_block"], setup_rows)[0]
+    )(tile_counts, plan["seg_tile"], plan["seg_block"], row0, setup_rows)[0]
 
 
 @functools.partial(
@@ -378,6 +391,7 @@ def rasterize_visibility(
     tiles_y: int,
     clear_depth: float = 0.0,
     segment_headroom: int = 2048,
+    tile_row_offset=None,
 ):
     """Visibility raster to framebuffer-layout images.
 
@@ -396,5 +410,6 @@ def rasterize_visibility(
         tiles_x=tiles_x,
         tiles_y=tiles_y,
         clear_depth=clear_depth,
+        tile_row_offset=tile_row_offset,
     )
     return vis[0], vis[1].astype(jnp.int32), plan["dropped"]

@@ -107,6 +107,7 @@ def _resolve_kernel(
     counts_ref,  # SMEM (T,) int32
     seg_tile_ref,  # SMEM (G,) int32
     seg_block_ref,  # SMEM (G,) int32
+    row0_ref,  # SMEM (1,) int32 — global tile-row offset (sharded slabs)
     attr_ref,  # VMEM (CHUNK, A_IN) f32 — this segment's attribute rows
     vis_ref,  # VMEM (2, th, tw) f32 — raster output (depth, face id)
     out_ref,  # VMEM (A_OUT, th, tw) f32 — G-buffer tile
@@ -119,7 +120,9 @@ def _resolve_kernel(
     g = pl.program_id(0)
     t = seg_tile_ref[g]
     j = seg_block_ref[g]
-    ty = t // tiles_x
+    # Global pixel rows (see raster._raster_kernel): sharded slabs
+    # interpolate with the exact single-chip arithmetic.
+    ty = t // tiles_x + row0_ref[0]
     tx = t % tiles_x
 
     @pl.when(j == 0)
@@ -254,12 +257,16 @@ def resolve_gbuffer(
     tile_w: int,
     tiles_x: int,
     anisotropic: bool = False,
+    tile_row_offset=None,
 ):
     """Second segment sweep: per-pixel G-buffer (A_OUT, H, W)."""
     _, h, w = vis.shape
     n_segments = plan["n_segments"]
     max_blocks = plan["max_blocks"]
     attr_rows = attrs[plan["seg_faces"]]  # (G*C, A_IN) row-major
+    if tile_row_offset is None:
+        tile_row_offset = jnp.zeros((), jnp.int32)
+    row0 = jnp.reshape(tile_row_offset.astype(jnp.int32), (1,))
 
     kernel = functools.partial(
         _resolve_kernel,
@@ -269,12 +276,12 @@ def resolve_gbuffer(
         anisotropic=anisotropic,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_segments,),
         in_specs=[
             pl.BlockSpec(
                 (CHUNK, A_IN),
-                lambda g, counts, seg_tile, seg_block: (
+                lambda g, counts, seg_tile, seg_block, row0: (
                     jnp.where(seg_block[g] >= jnp.int32(max_blocks), 0, g),
                     0,
                 ),
@@ -282,7 +289,7 @@ def resolve_gbuffer(
             ),
             pl.BlockSpec(
                 (2, tile_h, tile_w),
-                lambda g, counts, seg_tile, seg_block: (
+                lambda g, counts, seg_tile, seg_block, row0: (
                     0,
                     seg_tile[g] // tiles_x,
                     seg_tile[g] % tiles_x,
@@ -293,7 +300,7 @@ def resolve_gbuffer(
         out_specs=[
             pl.BlockSpec(
                 (A_OUT, tile_h, tile_w),
-                lambda g, counts, seg_tile, seg_block: (
+                lambda g, counts, seg_tile, seg_block, row0: (
                     0,
                     seg_tile[g] // tiles_x,
                     seg_tile[g] % tiles_x,
@@ -307,4 +314,4 @@ def resolve_gbuffer(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((A_OUT, h, w), jnp.float32)],
         interpret=_k.interpret_mode(),
-    )(tile_counts, plan["seg_tile"], plan["seg_block"], attr_rows, vis)[0]
+    )(tile_counts, plan["seg_tile"], plan["seg_block"], row0, attr_rows, vis)[0]

@@ -226,8 +226,14 @@ def shade_deferred(
     specular_power: float,
     clear_color,
     max_anisotropy: int = 1,
+    y_offset=0,
 ):
-    """Returns (4, H, W) f32 linear-color framebuffer (channel-planar)."""
+    """Returns (4, H, W) f32 linear-color framebuffer (channel-planar).
+
+    y_offset (scalar pixel rows, default 0): the sharded path shades its
+    slab with GLOBAL pixel-row coordinates so slab output is
+    bit-identical to the same rows of a single-chip frame.
+    """
     h, w = fid.shape
     mask = fid >= 0
     f = jnp.maximum(fid, 0)
@@ -236,8 +242,9 @@ def shade_deferred(
     # every attribute access is a major-axis row, not a strided
     # single-lane slice of a lane-padded array.
     rows = jnp.moveaxis(shade_rows[f], -1, 0)
+    y0 = jnp.asarray(y_offset, jnp.float32)
     px = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5 - rows[16]  # anchored
-    py = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 - rows[17]
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + y0 + 0.5 - rows[17]
     e0 = rows[0] * px + rows[1] * py + rows[2]
     e1 = rows[3] * px + rows[4] * py + rows[5]
     e2 = rows[6] * px + rows[7] * py + rows[8]

@@ -9,10 +9,14 @@ Scene buffers are replicated (small: MBs); per-slab framebuffers
 concatenate into the output sharding, and the only collective is a psum
 of the bin-overflow counter (serves as the cross-chip health check).
 
-Coordinate handling: rather than teaching the Pallas kernel about global
-offsets, the slab shifts its triangle setup — an edge function
-e(px, py) = a*px + b*py + c becomes a slab-local function by c += b*dy.
-Depth/z fields are invariant; AABBs shift the same way.
+There is NO sharded pipeline fork: every device runs the SAME
+renderer.render_frame as a single chip, parameterized by its slab's
+global tile-row offset. All kernels evaluate edges/attributes in GLOBAL
+pixel coordinates (kernels/raster.py, kernels/resolve.py,
+kernels/shade.py take a row offset; binning floors global tile rows
+before offsetting, kernels/geometry._tile_ranges) — so each slab's
+output is BIT-IDENTICAL to the corresponding rows of a single-chip
+frame, for both shading modes and both binning paths.
 """
 
 from __future__ import annotations
@@ -23,19 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from tpurast.kernels import geometry, present, raster, shade
-
-
-def _shift_setup_rows(setup, dy):
-    """Shift edge functions to slab-local pixel rows by moving each
-    face's evaluation anchor: Y0' = Y0 - dy (kernels/geometry.py anchored
-    edge functions). The per-face y extent (row-group restriction)
-    shifts the same way."""
-    from tpurast.kernels.geometry import FIELD_ANCHOR_Y, FIELD_YMAX, FIELD_YMIN
-
-    shift = jnp.zeros((setup.shape[1],), setup.dtype)
-    shift = shift.at[jnp.array([FIELD_ANCHOR_Y, FIELD_YMIN, FIELD_YMAX])].set(-dy)
-    return setup + shift[None, :]
+from tpurast.renderer import render_frame
 
 
 def render_frame_sharded(
@@ -47,88 +39,32 @@ def render_frame_sharded(
     axis: str = "tiles",
     width: int,
     height: int,
-    tile_h: int,
-    tile_w: int,
-    tiles_x: int,
     tiles_y_per_device: int,
-    bin_capacity: int,
-    segment_headroom: int,
-    clear_depth: float,
-    clear_color,
-    light_direction,
-    light_color,
-    ambient_amount: float,
-    specular_power: float,
-    max_anisotropy: int = 1,
+    **frame_kwargs,
 ):
     """Jit-compatible multi-device frame: returns dict with the color
-    framebuffer (sharded over rows) and the global bin overflow count."""
-    n_dev = mesh.shape[axis]
-    slab_h = tiles_y_per_device * tile_h
+    framebuffer (sharded over rows) and the global bin overflow count.
+
+    frame_kwargs are renderer.render_frame's static parameters (tile_h/
+    tile_w/tiles_x/shading/binning/...), passed through untouched.
+    """
+    slab_h = tiles_y_per_device * frame_kwargs["tile_h"]
 
     def slab_fn(scene_rep, vp, cam):
         d = jax.lax.axis_index(axis)
-        dy = (d * slab_h).astype(jnp.float32)
-
-        clip, world, wnormal = geometry.transform_vertices(
-            scene_rep["positions"],
-            scene_rep["normals"],
-            scene_rep["vert_prim"],
-            scene_rep["models"],
-            scene_rep["normal_mats"],
+        out = render_frame(
+            scene_rep,
             vp,
-        )
-        s = geometry.triangle_setup(
-            clip, scene_rep["faces"], scene_rep["n_faces"], width, height
-        )
-        # Slab-local coordinates: e(px, py_local + dy) = a*px + b*py_local
-        # + (c + b*dy).
-        setup_local = _shift_setup_rows(s["setup"], dy)
-        aabb_local = s["aabb"] - jnp.array([0.0, 1.0, 0.0, 1.0]) * dy
-        bins = geometry.bin_triangles(
-            aabb_local,
-            s["valid"],
-            tiles_x,
-            tiles_y_per_device,
-            tile_w,
-            tile_h,
-            bin_capacity,
-        )
-        overflow = bins["overflow"]
-        depth, fid, dropped_segments = raster.rasterize_visibility(
-            bins,
-            setup_local,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            tiles_x=tiles_x,
-            tiles_y=tiles_y_per_device,
-            clear_depth=clear_depth,
-            segment_headroom=segment_headroom,
-        )
-        faces = scene_rep["faces"]
-        shade_rows = shade.pack_shade_rows(
-            setup_local,
-            world[faces],
-            wnormal[faces],
-            scene_rep["uvs"][faces],
-            scene_rep["prim_tex"][scene_rep["face_prim"]],
-            scene_rep["atlas"],
-        )
-        fb = shade.shade_deferred(
-            fid,
-            shade_rows,
-            scene_rep["atlas"]["texels"],
             cam,
-            light_direction=light_direction,
-            light_color=light_color,
-            ambient_amount=ambient_amount,
-            specular_power=specular_power,
-            clear_color=clear_color,
-            max_anisotropy=max_anisotropy,
+            width=width,
+            height=height,  # full-frame viewport: global clip/cull/AABBs
+            tiles_y=tiles_y_per_device,
+            tile_row_offset=d * tiles_y_per_device,
+            crop_height=slab_h,
+            **frame_kwargs,
         )
-        color = present.encode_srgb_u8(fb, tiles_x * tile_w, slab_h)
-        total_overflow = jax.lax.psum(jnp.sum(overflow) + dropped_segments, axis)
-        return color, depth, total_overflow
+        total_overflow = jax.lax.psum(out["bin_overflow"], axis)
+        return out["color"], out["depth"], total_overflow
 
     color, depth, overflow = jax.shard_map(
         slab_fn,
@@ -150,16 +86,29 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
     """Build a jitted multi-chip frame function for a given mesh.
 
     Pads the framebuffer so tile rows divide evenly across devices.
-    Returns (fn, static_info); fn(scene, view_proj, cam_pos) -> frame dict.
+    Returns fn; fn(scene, view_proj, cam_pos) -> frame dict. Static
+    sizing (binning path, pair capacity, segment headroom) mirrors
+    Renderer._configure_target so the sharded frame runs the DEFAULT
+    pipeline, not a special-cased one.
     """
+    from tpurast.kernels import geometry
+
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     tiles_x = -(-width // config.tile_w)
     tiles_y = -(-height // config.tile_h)
     tiles_y = -(-tiles_y // n_dev) * n_dev  # divisible by device count
+    t_local = tiles_x * (tiles_y // n_dev)
+    f_pad = int(scene_dev["faces"].shape[0])
     quantum = 128
-    cap = config.bin_capacity or 4 * int(scene_dev["faces"].shape[0])
+    cap = config.bin_capacity or max(4 * f_pad, 16384)
     cap = -(-cap // quantum) * quantum
+    binning = "pairs" if config.binning == "auto" else config.binning
+    if binning == "pairs":
+        pair_bound = geometry.TILES_PER_FACE * f_pad + geometry.HUGE_BUDGET * t_local
+        headroom = min(max(512, pair_bound // 128), 65536)
+    else:
+        headroom = min(config.segment_headroom, max(512, f_pad // 32))
     fn = jax.jit(
         functools.partial(
             render_frame_sharded,
@@ -167,15 +116,12 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
             axis=axis,
             width=width,
             height=height,
+            tiles_y_per_device=tiles_y // n_dev,
             tile_h=config.tile_h,
             tile_w=config.tile_w,
             tiles_x=tiles_x,
-            tiles_y_per_device=tiles_y // n_dev,
             bin_capacity=cap,
-            segment_headroom=min(
-                config.segment_headroom,
-                max(512, int(scene_dev["faces"].shape[0]) // 32),
-            ),
+            segment_headroom=headroom,
             clear_depth=config.clear_depth,
             clear_color=config.clear_color,
             light_direction=config.light_direction,
@@ -183,6 +129,8 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
             ambient_amount=config.ambient_amount,
             specular_power=config.specular_power,
             max_anisotropy=config.max_anisotropy,
+            shading=config.shading,
+            binning=binning,
         )
     )
     return fn

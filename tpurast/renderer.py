@@ -58,6 +58,8 @@ def render_frame(
     output: str = "srgb_u8",
     shading: str = "forward",
     binning: str = "scan",
+    tile_row_offset=None,
+    crop_height: int | None = None,
 ):
     """Pure frame function (jit-traced once per config/scene shape).
 
@@ -66,8 +68,22 @@ def render_frame(
     shading="deferred": the original per-pixel fat-gather path — same
     results, kept for A/B verification.
 
+    The SHARDED path (tpurast/parallel.py) calls this same function per
+    device with tile_row_offset = its slab's first global tile row and
+    tiles_y = the slab's tile rows: binning, raster, resolve, and shade
+    all evaluate in GLOBAL pixel coordinates, so each slab's output is
+    bit-identical to the corresponding rows of a single-chip frame.
+    crop_height (static, default height) trims the slab output.
+
     Returns dict with framebuffer plus profiling scalars (overflow count).
     """
+    if tile_row_offset is None:
+        ty_base = 0
+        y_offset_px = 0
+    else:
+        ty_base = tile_row_offset
+        y_offset_px = tile_row_offset * tile_h
+    out_h = height if crop_height is None else crop_height
     clip, world, wnormal = geometry.transform_vertices(
         scene["positions"],
         scene["normals"],
@@ -79,7 +95,13 @@ def render_frame(
     setup_out = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"], width, height)
     if binning == "pairs":
         bins = geometry.bin_pairs(
-            setup_out["aabb"], setup_out["valid"], tiles_x, tiles_y, tile_w, tile_h
+            setup_out["aabb"],
+            setup_out["valid"],
+            tiles_x,
+            tiles_y,
+            tile_w,
+            tile_h,
+            ty_base=ty_base,
         )
     else:
         bins = geometry.bin_triangles(
@@ -90,6 +112,7 @@ def render_frame(
             tile_w,
             tile_h,
             bin_capacity,
+            ty_base=ty_base,
         )
     tile_counts = bins["counts"]
     overflow = bins["overflow"]
@@ -112,6 +135,7 @@ def render_frame(
         tiles_x=tiles_x,
         tiles_y=tiles_y,
         clear_depth=clear_depth,
+        tile_row_offset=tile_row_offset,
     )  # (2, Hp, Wp) framebuffer layout: depth, face id
     depth = vis[0]
     dropped_segments = plan["dropped"]
@@ -133,6 +157,7 @@ def render_frame(
             tile_w=tile_w,
             tiles_x=tiles_x,
             anisotropic=max_anisotropy > 1,
+            tile_row_offset=tile_row_offset,
         )
         framebuffer = shade.shade_gbuffer(
             gbuf, scene["atlas"]["texels"], camera_position, **light_kwargs
@@ -152,16 +177,17 @@ def render_frame(
             shade_rows,
             scene["atlas"]["texels"],
             camera_position,
+            y_offset=y_offset_px,
             **light_kwargs,
         )
     result = {
-        "depth": present.crop_linear(depth, width, height),
+        "depth": present.crop_linear(depth, width, out_h),
         "bin_overflow": jnp.sum(overflow) + dropped_segments,
     }
     if output == "srgb_u8":
-        result["color"] = present.encode_srgb_u8(framebuffer, width, height)
+        result["color"] = present.encode_srgb_u8(framebuffer, width, out_h)
     else:
-        result["color"] = present.crop_linear(framebuffer, width, height)
+        result["color"] = present.crop_linear(framebuffer, width, out_h)
     return result
 
 
@@ -225,7 +251,12 @@ class Renderer:
         f_pad = int(self.scene_host.faces.shape[0])
         t_total = self.tiles_x * self.tiles_y
         if cfg.binning == "auto":
-            self.binning = "pairs" if t_total * f_pad > 150_000_000 else "scan"
+            # Pair-sort wins across the board (measured on v5e, demo
+            # scene @1080p, T*F ~ 10M: sort 1.7 ms vs chunked scan
+            # 9.4 ms — the scan's dense (T, chunk) rank masks dwarf the
+            # lax.sort floor long before the old 150M-T*F cutover).
+            # The scan path stays selectable for A/B testing.
+            self.binning = "pairs"
         else:
             self.binning = cfg.binning
         # Pair-buffer capacity (scan path): total (tile, face) pairs per
@@ -238,9 +269,14 @@ class Renderer:
             cap = cfg.bin_capacity
         self.bin_capacity = _round_up(max(cap, 128), 128)
         if self.binning == "pairs":
-            # Headroom must cover ~pairs/CHUNK extra segments; pairs are
-            # typically < 2 per face for tile-sized triangles.
-            headroom = min(max(4096, (2 * f_pad) // 128), 65536)
+            # Provably-safe bound: total pairs <= TPF*F (small faces)
+            # + HB*T (huge faces), and extra segments <= pairs/CHUNK.
+            # The per-segment setup gather scales with the STATIC segment
+            # count (~1.4 ns/row on v5e), so don't round up past this.
+            pair_bound = (
+                geometry.TILES_PER_FACE * f_pad + geometry.HUGE_BUDGET * t_total
+            )
+            headroom = min(max(512, pair_bound // 128), 65536)
         else:
             # Tail segments are cheap but not free: cap headroom by what
             # the scene could possibly need.
