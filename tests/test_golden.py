@@ -35,10 +35,14 @@ def _check_golden(name: str, image: np.ndarray):
     golden = np.asarray(Image.open(path))
     assert golden.shape == image.shape
     diff = np.abs(golden.astype(int) - image.astype(int))
-    mismatched = (diff > 2).any(axis=-1)
+    # North-star accuracy gate (BASELINE: within 1 LSB/channel): bulk
+    # pixels must be within 1 LSB; only knife-edge flips (a different
+    # surface winning a tie under float reassociation across jax
+    # versions) may exceed it, and only for a handful of pixels.
+    mismatched = (diff > 1).any(axis=-1)
     frac = mismatched.mean()
-    assert frac < 0.005, (
-        f"golden {name}: {frac:.4%} of pixels differ by >2 LSB "
+    assert frac < 0.002, (
+        f"golden {name}: {frac:.4%} of pixels differ by >1 LSB "
         f"(max diff {diff.max()}); set UPDATE_GOLDENS=1 if intentional"
     )
 

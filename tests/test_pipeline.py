@@ -84,6 +84,19 @@ def test_resize_recreates_target(demo_scene):
     assert out2.shape == (72, 128, 4)
 
 
+def test_zero_extent_defers_recreation(demo_scene):
+    # Minimized-window semantics (src/Renderer.zig:631-636): a zero
+    # extent must not produce a zero-tile target; recreation is deferred
+    # and rendering continues at the previous size until a usable extent
+    # arrives.
+    r = Renderer(demo_scene, RendererConfig(width=96, height=64, segment_headroom=192))
+    r.recreate_swapchain(0, 0)
+    out = r.render_to_host(demo_camera())
+    assert out.shape == (64, 96, 4)  # old target still in use
+    r.recreate_swapchain(128, 72)  # window restored
+    assert r.render_to_host(demo_camera()).shape == (72, 128, 4)
+
+
 def test_engine_loop_double_buffered(demo_scene):
     eng = Engine(scene=demo_scene, config=RendererConfig(width=96, height=64, segment_headroom=192))
     first = eng.tick()

@@ -213,6 +213,17 @@ def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
     cursor = 0
     for ti, mips in enumerate(textures):
         assert len(mips) <= MAX_MIPS
+        # The packed parent-mip 3x3 window and the kernel-side dx/dy in
+        # {0,1} anchor derivation (kernels/shade._trilerp) are only
+        # wrap-invariant when every mip is exactly half the previous —
+        # i.e. power-of-two base dimensions. Enforce instead of sampling
+        # wrong parent texels silently (BC textures are always pow2).
+        h0, w0 = mips[0].shape[:2]
+        if (h0 & (h0 - 1)) or (w0 & (w0 - 1)):
+            raise ValueError(
+                f"texture {ti}: non-power-of-two base {w0}x{h0} breaks the "
+                "single-gather trilinear atlas (parent-window anchors)"
+            )
         n_mips[ti] = len(mips)
         for mi, m in enumerate(mips):
             h, w = m.shape[:2]

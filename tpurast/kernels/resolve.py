@@ -63,7 +63,8 @@ A_IN = 56
 # G-buffer plane layout (A_OUT planes, per pixel):
 #   0..2 world | 3..5 normal | 6,7 u,v | 8 off0/256 | 9,10 tw0,th0
 #   11,12 tw1,th1 | 13 mip frac | 14,15 aniso major du,dv
-#   16 matched flag | 17..23 pad
+#   16 matched flag | 17 aniso probe span (shade.aniso_footprint)
+#   18..23 pad
 # (No off1: the parent-mip texels ride the own-mip atlas row,
 # device/textures.py, so only the parent DIMENSIONS are needed.)
 A_OUT = 24
@@ -115,7 +116,7 @@ def _resolve_kernel(
     tile_h: int,
     tile_w: int,
     tiles_x: int,
-    anisotropic: bool,
+    max_anisotropy: int,
 ):
     g = pl.program_id(0)
     t = seg_tile_ref[g]
@@ -196,15 +197,17 @@ def _resolve_kernel(
         n_mips = s(54)
         rho2_x = (du_dx * w0) ** 2 + (dv_dx * h0) ** 2
         rho2_y = (du_dy * w0) ** 2 + (dv_dy * h0) ** 2
-        if anisotropic:
-            rho2 = jnp.minimum(rho2_x, rho2_y)
-            major_is_x = rho2_x >= rho2_y
-            maj_du = jnp.where(major_is_x, du_dx, du_dy)
-            maj_dv = jnp.where(major_is_x, dv_dx, dv_dy)
+        if max_anisotropy > 1:
+            from tpurast.kernels.shade import aniso_footprint
+
+            rho2, maj_du, maj_dv, span = aniso_footprint(
+                rho2_x, rho2_y, du_dx, du_dy, dv_dx, dv_dy, max_anisotropy
+            )
         else:
             rho2 = jnp.maximum(rho2_x, rho2_y)
             maj_du = jnp.zeros_like(rho2)
             maj_dv = maj_du
+            span = maj_du
 
         lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-24))
         lod = jnp.clip(lod, 0.0, n_mips - 1.0)
@@ -239,9 +242,9 @@ def _resolve_kernel(
                 off0, tw0, th0,
                 tw1, th1,
                 tfrac, maj_du, maj_dv,
-                matched,
+                matched, span,
             ]
-            + [jnp.zeros_like(matched)] * (A_OUT - 17),
+            + [jnp.zeros_like(matched)] * (A_OUT - 18),
             axis=0,
         )  # (A_OUT, th, tw)
         out_ref[...] = jnp.where(matched > 0.0, new, out_ref[...])
@@ -256,7 +259,7 @@ def resolve_gbuffer(
     tile_h: int,
     tile_w: int,
     tiles_x: int,
-    anisotropic: bool = False,
+    max_anisotropy: int = 1,
     tile_row_offset=None,
 ):
     """Second segment sweep: per-pixel G-buffer (A_OUT, H, W)."""
@@ -273,7 +276,7 @@ def resolve_gbuffer(
         tile_h=tile_h,
         tile_w=tile_w,
         tiles_x=tiles_x,
-        anisotropic=anisotropic,
+        max_anisotropy=max_anisotropy,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

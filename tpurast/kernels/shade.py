@@ -204,6 +204,34 @@ def _light_planes(
     return [(k * lc[i]) * albedo[i] + spec_amount * lc[i] for i in range(3)]
 
 
+def aniso_footprint(rho2_x, rho2_y, du_dx, du_dy, dv_dx, dv_dy, n: int):
+    """Ratio-clamped anisotropic footprint (hardware-sampler semantics).
+
+    Returns (rho2_used, maj_du, maj_dv, span):
+      * rho2_used — the per-tap footprint: the minor axis, raised to
+        rho2_max/n^2 when the anisotropy ratio exceeds n (the lod clamp
+        hardware applies at maxAnisotropy);
+      * maj_du/maj_dv — the full major-axis gradient (taps cover the
+        whole footprint);
+      * span — probe spread fraction (1 - 1/ratio): ISOTROPIC pixels get
+        span 0, so all n probes coincide and the result is EXACTLY the
+        single trilinear tap — no over-blur from fixed probe counts.
+
+    Shared by the deferred shade and the resolve kernel so the two paths
+    stay bit-identical (same formulas, same op order).
+    """
+    rho2_max = jnp.maximum(rho2_x, rho2_y)
+    rho2_min = jnp.minimum(rho2_x, rho2_y)
+    rho2_used = jnp.maximum(rho2_min, rho2_max * jnp.float32(1.0 / (n * n)))
+    ratio = jnp.sqrt(rho2_max / jnp.maximum(rho2_used, jnp.float32(1e-24)))
+    ratio_c = jnp.clip(ratio, 1.0, jnp.float32(n))
+    span = jnp.float32(1.0) - jnp.float32(1.0) / ratio_c
+    major_is_x = rho2_x >= rho2_y
+    maj_du = jnp.where(major_is_x, du_dx, du_dy)
+    maj_dv = jnp.where(major_is_x, dv_dx, dv_dy)
+    return rho2_used, maj_du, maj_dv, span
+
+
 def _plane_select(planes, lane):
     """planes (16, ...) selected at per-element level index (masked
     accumulation over the major axis — no minor-dim gather, no
@@ -311,18 +339,18 @@ def shade_deferred(
     else:
         # Anisotropic filtering (the reference's sampler requests
         # maxAnisotropy 16, src/Renderer.zig:515): N trilinear probes
-        # spaced along the major-axis gradient, each at the minor-axis
-        # footprint's lod — footprint-weighted like hardware aniso, with
-        # a static probe count (N = max_anisotropy).
+        # spaced along the major-axis gradient, ratio-clamped like a
+        # hardware sampler (aniso_footprint): isotropic pixels' probes
+        # coincide (== plain trilinear), ratios beyond N raise the tap
+        # lod instead of under-sampling.
         n = int(max_anisotropy)
-        major_is_x = rho2_x >= rho2_y
-        maj_du = jnp.where(major_is_x, du_dx, du_dy)
-        maj_dv = jnp.where(major_is_x, dv_dx, dv_dy)
-        rho2_min = jnp.minimum(rho2_x, rho2_y)
+        rho2_used, maj_du, maj_dv, span = aniso_footprint(
+            rho2_x, rho2_y, du_dx, du_dy, dv_dx, dv_dy, n
+        )
         acc = [0.0, 0.0, 0.0, 0.0]
         for i in range(n):
-            fo = (i + 0.5) / n - 0.5
-            probe = trilinear(uv_u + maj_du * fo, uv_v + maj_dv * fo, rho2_min)
+            fo = jnp.float32((i + 0.5) / n - 0.5) * span
+            probe = trilinear(uv_u + maj_du * fo, uv_v + maj_dv * fo, rho2_used)
             acc = [a + p for a, p in zip(acc, probe)]
         albedo = [a / n for a in acc]
 
@@ -384,6 +412,7 @@ def shade_gbuffer(
     th1 = g(12).astype(jnp.int32)
     tfrac = g(13)
     maj_du, maj_dv = g(14), g(15)
+    span = g(17)  # probe spread fraction from aniso_footprint (in-kernel)
 
     def trilinear_at(u, v):
         return _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v)
@@ -394,7 +423,7 @@ def shade_gbuffer(
         n_probes = int(max_anisotropy)
         acc = [0.0, 0.0, 0.0, 0.0]
         for i in range(n_probes):
-            fo = (i + 0.5) / n_probes - 0.5
+            fo = jnp.float32((i + 0.5) / n_probes - 0.5) * span
             probe = trilinear_at(uv_u + maj_du * fo, uv_v + maj_dv * fo)
             acc = [a + p for a, p in zip(acc, probe)]
         albedo = [a / n_probes for a in acc]

@@ -156,7 +156,7 @@ def render_frame(
             tile_h=tile_h,
             tile_w=tile_w,
             tiles_x=tiles_x,
-            anisotropic=max_anisotropy > 1,
+            max_anisotropy=max_anisotropy,
             tile_row_offset=tile_row_offset,
         )
         framebuffer = shade.shade_gbuffer(
@@ -206,6 +206,7 @@ class Renderer:
         self.scene_host = scene
         self.scene = scene.device(self.config.texture_dtype)
         self.output = output
+        self._deferred_extent = None  # minimized-window deferral
         self._configure_target(cfg.width, cfg.height)
         # Startup dump — the analog of the reference's adapter
         # properties/limits/features log (src/Renderer.zig:176-249).
@@ -319,7 +320,18 @@ class Renderer:
     def recreate_swapchain(self, width: int, height: int) -> None:
         """Resize the render target; recompiles the frame function and
         recomputes the projection for the new aspect
-        (src/Renderer.zig:631-661)."""
+        (src/Renderer.zig:631-661).
+
+        A zero extent (minimized window) DEFERS recreation like the
+        reference (src/Renderer.zig:631-636, replayed at :951-958): the
+        pending size is recorded and applied by the next render() whose
+        extent is usable; rendering keeps the old target until then.
+        """
+        if width == 0 or height == 0:
+            self._deferred_extent = (width, height)
+            log.debug("swapchain recreation deferred (zero extent %dx%d)", width, height)
+            return
+        self._deferred_extent = None
         self._configure_target(width, height)
 
     # -- frame -------------------------------------------------------------
