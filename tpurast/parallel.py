@@ -105,8 +105,10 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
     cap = -(-cap // quantum) * quantum
     binning = "pairs" if config.binning == "auto" else config.binning
     if binning == "pairs":
-        pair_bound = geometry.TILES_PER_FACE * f_pad + geometry.HUGE_BUDGET * t_local
-        headroom = min(max(512, pair_bound // 128), 65536)
+        # Mirrors Renderer._configure_target: typical-need sizing (static
+        # segments are a first-order kernel cost), drops surfaced by the
+        # overflow counter.
+        headroom = min(max(256, f_pad // 64), config.segment_headroom)
     else:
         headroom = min(config.segment_headroom, max(512, f_pad // 32))
     fn = jax.jit(

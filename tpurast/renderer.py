@@ -270,14 +270,17 @@ class Renderer:
             cap = cfg.bin_capacity
         self.bin_capacity = _round_up(max(cap, 128), 128)
         if self.binning == "pairs":
-            # Provably-safe bound: total pairs <= TPF*F (small faces)
-            # + HB*T (huge faces), and extra segments <= pairs/CHUNK.
-            # The per-segment setup gather scales with the STATIC segment
-            # count (~1.4 ns/row on v5e), so don't round up past this.
-            pair_bound = (
-                geometry.TILES_PER_FACE * f_pad + geometry.HUGE_BUDGET * t_total
-            )
-            headroom = min(max(512, pair_bound // 128), 65536)
+            # STATIC segment count is a first-order cost: every grid step
+            # of the raster AND resolve kernels pays ~1 us even as a
+            # no-op sentinel, and the per-segment gathers scale with it
+            # (measured: headroom 1471 -> ~4 ms/frame of pure slack at
+            # 1080p). Size to the TYPICAL need (pairs ~ faces/2 for
+            # tile-sized triangles -> extra segments ~ pairs/128) rather
+            # than the adversarial bound; a frame that exceeds it drops
+            # segments VISIBLY (dropped counter -> Engine warning +
+            # bench "dropped_pairs") and segment_headroom in the config
+            # raises it.
+            headroom = min(max(256, f_pad // 64), cfg.segment_headroom)
         else:
             # Tail segments are cheap but not free: cap headroom by what
             # the scene could possibly need.
