@@ -84,6 +84,37 @@ def test_resize_recreates_target(demo_scene):
     assert out2.shape == (72, 128, 4)
 
 
+def test_blend_state_opaque_content_invariant(demo_scene):
+    # The reference's blend state (srcAlpha/1-srcAlpha + add, alpha
+    # zero/one; src/Renderer.zig:447-458) with the shader's constant
+    # output alpha 1.0 (basic.frag:38) must produce the exact opaque
+    # image — the blend equation exists as pipeline state, the content
+    # is opaque.
+    cfgs = dict(width=96, height=64, segment_headroom=192)
+    cam = demo_camera()
+    a = Renderer(demo_scene, RendererConfig(blend="alpha", **cfgs)).render_to_host(cam)
+    b = Renderer(demo_scene, RendererConfig(blend="opaque", **cfgs)).render_to_host(cam)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_blend_planes_translucent():
+    # Direct check of the blend equation with a non-1 source alpha.
+    import jax.numpy as jnp
+
+    from tpurast.kernels.shade import blend_planes
+
+    rgb = [jnp.full((2, 2), 0.8), jnp.full((2, 2), 0.4), jnp.full((2, 2), 0.0)]
+    mask = jnp.array([[True, False], [True, True]])
+    out = blend_planes(rgb, jnp.float32(0.25), mask, (1.0, 0.0, 1.0, 1.0), "alpha")
+    out = np.asarray(jnp.stack(out))
+    # covered: src*0.25 + clear*0.75 ; uncovered: clear
+    np.testing.assert_allclose(out[0][0, 0], 0.8 * 0.25 + 1.0 * 0.75, rtol=1e-6)
+    np.testing.assert_allclose(out[2][0, 0], 0.0 * 0.25 + 1.0 * 0.75, rtol=1e-6)
+    assert out[0][0, 1] == 1.0 and out[2][0, 1] == 1.0
+    # alpha target: srcFactor ZERO, dstFactor ONE -> clear alpha kept.
+    assert (out[3] == 1.0).all()
+
+
 def test_zero_extent_defers_recreation(demo_scene):
     # Minimized-window semantics (src/Renderer.zig:631-636): a zero
     # extent must not produce a zero-tile target; recreation is deferred

@@ -83,6 +83,10 @@ class RendererConfig:
     # anisotropy 16 (src/Renderer.zig:515) but the baseline configs only
     # demand mip/trilinear; aniso is a future flag).
     max_anisotropy: int = 1
+    # Framebuffer blend state (src/Renderer.zig:447-458): "alpha" is the
+    # reference's srcAlpha/oneMinusSrcAlpha+add color blend with zero/one
+    # alpha blend; "opaque" bypasses the blend equation.
+    blend: str = "alpha"
 
     # Shading path: "forward" interpolates attributes per pixel inside the
     # Pallas resolve kernel (kernels/resolve.py; fastest); "deferred" is

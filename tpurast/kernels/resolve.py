@@ -266,7 +266,9 @@ def resolve_gbuffer(
     _, h, w = vis.shape
     n_segments = plan["n_segments"]
     max_blocks = plan["max_blocks"]
-    attr_rows = attrs[plan["seg_faces"]]  # (G*C, A_IN) row-major
+    from tpurast.kernels.raster import gather_segment_rows
+
+    attr_rows = gather_segment_rows(attrs, plan)  # (G*C, A_IN) row-major
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)
     row0 = jnp.reshape(tile_row_offset.astype(jnp.int32), (1,))

@@ -204,6 +204,37 @@ def _light_planes(
     return [(k * lc[i]) * albedo[i] + spec_amount * lc[i] for i in range(3)]
 
 
+def blend_planes(rgb, src_alpha, mask, clear, mode: str = "alpha"):
+    """Framebuffer blend stage (pipeline state, src/Renderer.zig:447-458).
+
+    mode="alpha" is the reference's exact blend state:
+      color: src*srcAlpha + dst*(1-srcAlpha), op add
+      alpha: src*ZERO + dst*ONE  (the framebuffer keeps the clear alpha)
+    Uncovered pixels keep dst (the clear color). The fragment stage
+    outputs alpha 1.0 (basic.frag:38), so for the reference's opaque
+    content this reduces to an opaque write — but the state exists and
+    a translucent shader output blends against the destination exactly
+    as wgpu would. mode="opaque" bypasses blending (select).
+
+    dst here is the clear color: the visibility buffer resolves each
+    pixel to ONE winning fragment before shading, so inter-fragment
+    blending (translucency between overlapping draws) would need a
+    multi-layer visibility pass — tracked as a limitation, same output
+    for any opaque scene.
+    """
+    clear = [jnp.float32(c) for c in clear]
+    if mode == "opaque":
+        planes = [jnp.where(mask, rgb[i], clear[i]) for i in range(3)]
+        return planes + [jnp.where(mask, jnp.float32(1.0), clear[3])]
+    one_minus = jnp.float32(1.0) - src_alpha
+    planes = [
+        jnp.where(mask, rgb[i] * src_alpha + clear[i] * one_minus, clear[i])
+        for i in range(3)
+    ]
+    # alpha: srcFactor ZERO, dstFactor ONE -> dst alpha everywhere.
+    return planes + [jnp.broadcast_to(clear[3], mask.shape)]
+
+
 def aniso_footprint(rho2_x, rho2_y, du_dx, du_dy, dv_dx, dv_dy, n: int):
     """Ratio-clamped anisotropic footprint (hardware-sampler semantics).
 
@@ -255,6 +286,7 @@ def shade_deferred(
     clear_color,
     max_anisotropy: int = 1,
     y_offset=0,
+    blend: str = "alpha",
 ):
     """Returns (4, H, W) f32 linear-color framebuffer (channel-planar).
 
@@ -364,13 +396,10 @@ def shade_deferred(
         ambient_amount=ambient_amount,
         specular_power=specular_power,
     )
-    clear = jnp.asarray(clear_color, dtype=jnp.float32)
-    planes = [
-        jnp.where(mask, rgb[0], clear[0]),
-        jnp.where(mask, rgb[1], clear[1]),
-        jnp.where(mask, rgb[2], clear[2]),
-        jnp.where(mask, jnp.float32(1.0), clear[3]),
-    ]
+    # Fragment output alpha is 1.0 (basic.frag:38); the blend stage is
+    # still applied as real pipeline state (srcAlpha/1-srcAlpha + add,
+    # alpha zero/one -- src/Renderer.zig:447-458).
+    planes = blend_planes(rgb, jnp.float32(1.0), mask, clear_color, blend)
     return jnp.stack(planes, axis=0)
 
 
@@ -385,6 +414,7 @@ def shade_gbuffer(
     specular_power: float,
     clear_color,
     max_anisotropy: int = 1,
+    blend: str = "alpha",
 ):
     """Forward-path shading tail: the resolve kernel already interpolated
     everything per pixel, so this is just texture taps (the only remaining
@@ -438,11 +468,8 @@ def shade_gbuffer(
         ambient_amount=ambient_amount,
         specular_power=specular_power,
     )
-    clear = jnp.asarray(clear_color, dtype=jnp.float32)
-    planes = [
-        jnp.where(mask, rgb[0], clear[0]),
-        jnp.where(mask, rgb[1], clear[1]),
-        jnp.where(mask, rgb[2], clear[2]),
-        jnp.where(mask, jnp.float32(1.0), clear[3]),
-    ]
+    # Fragment output alpha is 1.0 (basic.frag:38); the blend stage is
+    # still applied as real pipeline state (srcAlpha/1-srcAlpha + add,
+    # alpha zero/one -- src/Renderer.zig:447-458).
+    planes = blend_planes(rgb, jnp.float32(1.0), mask, clear_color, blend)
     return jnp.stack(planes, axis=0)  # (4, H, W)

@@ -108,7 +108,7 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
         # Mirrors Renderer._configure_target: typical-need sizing (static
         # segments are a first-order kernel cost), drops surfaced by the
         # overflow counter.
-        headroom = min(max(256, f_pad // 64), config.segment_headroom)
+        headroom = min(max(256, f_pad // 256), config.segment_headroom)
     else:
         headroom = min(config.segment_headroom, max(512, f_pad // 32))
     fn = jax.jit(
@@ -131,6 +131,7 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
             ambient_amount=config.ambient_amount,
             specular_power=config.specular_power,
             max_anisotropy=config.max_anisotropy,
+            blend=config.blend,
             shading=config.shading,
             binning=binning,
         )

@@ -55,6 +55,7 @@ def render_frame(
     ambient_amount: float,
     specular_power: float,
     max_anisotropy: int = 1,
+    blend: str = "alpha",
     output: str = "srgb_u8",
     shading: str = "forward",
     binning: str = "scan",
@@ -125,6 +126,7 @@ def render_frame(
         specular_power=specular_power,
         clear_color=clear_color,
         max_anisotropy=max_anisotropy,
+        blend=blend,
     )
     vis = raster.rasterize_tiles(
         tile_counts,
@@ -280,7 +282,7 @@ class Renderer:
             # segments VISIBLY (dropped counter -> Engine warning +
             # bench "dropped_pairs") and segment_headroom in the config
             # raises it.
-            headroom = min(max(256, f_pad // 64), cfg.segment_headroom)
+            headroom = min(max(256, f_pad // 256), cfg.segment_headroom)
         else:
             # Tail segments are cheap but not free: cap headroom by what
             # the scene could possibly need.
@@ -314,6 +316,7 @@ class Renderer:
                 ambient_amount=cfg.ambient_amount,
                 specular_power=cfg.specular_power,
                 max_anisotropy=cfg.max_anisotropy,
+                blend=cfg.blend,
                 output=self.output,
                 shading=cfg.shading,
                 binning=self.binning,
