@@ -306,11 +306,17 @@ def plan_segments(bins, *, segment_headroom: int):
 def gather_segment_rows(table, plan):
     """Per-segment row input for a kernel: (G*CHUNK, W) from (F, W).
 
-    Two-stage: table rows in pair order (row gather by face id), then
-    slot selection (row gather with plain affine-ish indices).
+    Index composition order matters a lot: gathering table rows in PAIR
+    order first looks appealing (two wide row gathers) but materializes
+    a (P, W) intermediate where P is the STATIC worst-case pair count
+    (TILES_PER_FACE * F) — at 4K instancing that is a 10M-row, 2 GB
+    gather costing ~900 ms/frame. Composing the indices instead
+    (seg_faces = pair_faces[slots], then one row gather) touches only
+    G*CHUNK rows: the s32 element gather runs ~6.6 ns/row, but G*CHUNK
+    is orders of magnitude smaller than P on heavy scenes.
     """
-    pair_rows = table[plan["pair_faces"]]
-    return pair_rows[plan["seg_slots"]]
+    seg_faces = plan["pair_faces"][plan["seg_slots"]]
+    return table[seg_faces]
 
 
 def rasterize_tiles(

@@ -119,6 +119,14 @@ def render_frame(
     overflow = bins["overflow"]
     plan = raster.plan_segments(bins, segment_headroom=segment_headroom)
     faces = scene["faces"]
+    # ONE per-vertex attribute gather instead of three: row-gather cost
+    # is per row, so joining world/normal/uv into an 8-wide table cuts
+    # the per-face vertex fetch ~3x (tens of ms at 4K instancing).
+    vattr = jnp.concatenate([world, wnormal, scene["uvs"]], axis=1)  # (V, 8)
+    frows = vattr[faces.reshape(-1)].reshape(-1, 3, 8)  # (F, 3, 8)
+    face_world = frows[..., 0:3]
+    face_normal = frows[..., 3:6]
+    face_uv = frows[..., 6:8]
     light_kwargs = dict(
         light_direction=light_direction,
         light_color=light_color,
@@ -144,9 +152,9 @@ def render_frame(
     if shading == "forward":
         attrs = resolve.pack_resolve_attrs(
             setup_out["setup"],
-            world[faces],
-            wnormal[faces],
-            scene["uvs"][faces],
+            face_world,
+            face_normal,
+            face_uv,
             scene["prim_tex"][scene["face_prim"]],
             scene["atlas"],
         )
@@ -168,9 +176,9 @@ def render_frame(
         fid = vis[1].astype(jnp.int32)
         shade_rows = shade.pack_shade_rows(
             setup_out["setup"],
-            world[faces],
-            wnormal[faces],
-            scene["uvs"][faces],
+            face_world,
+            face_normal,
+            face_uv,
             scene["prim_tex"][scene["face_prim"]],
             scene["atlas"],
         )
