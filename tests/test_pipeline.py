@@ -84,6 +84,23 @@ def test_resize_recreates_target(demo_scene):
     assert out2.shape == (72, 128, 4)
 
 
+def test_srgb8_atlas_matches_float(demo_scene):
+    # srgb8 texel storage (u8 sRGB rows + exact in-sampler EOTF) must
+    # reproduce the float path within 1 output LSB: the BC7 sources ARE
+    # u8 sRGB, so the only difference is f16 quantization on the float
+    # side vs exact u8 round-trip on the srgb8 side.
+    cfgs = dict(width=96, height=64, segment_headroom=192)
+    cam = demo_camera()
+    a = Renderer(
+        demo_scene, RendererConfig(texture_dtype="float32", **cfgs)
+    ).render_to_host(cam)
+    b = Renderer(
+        demo_scene, RendererConfig(texture_dtype="srgb8", **cfgs)
+    ).render_to_host(cam)
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 1, f"srgb8 vs float32 max diff {diff.max()}"
+
+
 def test_blend_state_opaque_content_invariant(demo_scene):
     # The reference's blend state (srcAlpha/1-srcAlpha + add, alpha
     # zero/one; src/Renderer.zig:447-458) with the shader's constant

@@ -72,12 +72,14 @@ class RendererConfig:
     # tiles x faces explodes). See kernels/geometry.py.
     binning: str = "auto"
 
-    # Atlas texel dtype. "float16" (default) halves the per-row gather
-    # cost on v5e (sub-4-byte rows move 2-3x faster through the gather
-    # unit) and is exact for BC6H sources / <1 u8 LSB for BC7; "float32"
-    # is bit-exact to the f32 sampling reference; "bfloat16" is a memory
-    # knob only.
-    texture_dtype: str = "float16"
+    # Atlas texel dtype. "auto" (default): float16 normally — exact for
+    # BC6H sources, <1 u8 LSB for BC7 — switching to "srgb8" (u8 rows,
+    # sRGB-encoded RGB + linear alpha: EXACTLY the BC source precision,
+    # 4x smaller) when the f16 atlas would exceed ~2 GB and content is
+    # LDR, because v5e gather throughput degrades sharply with table
+    # footprint. "float32" is bit-exact to the f32 sampling reference;
+    # "float16"/"bfloat16"/"srgb8" select explicitly.
+    texture_dtype: str = "auto"
 
     # Texture sampling: trilinear by default (the reference requests
     # anisotropy 16 (src/Renderer.zig:515) but the baseline configs only

@@ -49,19 +49,52 @@ class TextureAtlas:
     sizes: np.ndarray  # (T, MAX_MIPS, 2) i32 (width, height) per mip
     n_mips: np.ndarray  # (T,) i32
 
+    def max_value(self) -> float:
+        return float(self.texels.max()) if self.texels.size else 0.0
+
     def device(self, dtype: str = "float16"):
         """Upload; dtype="float16" (default) HALVES gather time on v5e
         (sub-4-byte rows move ~2-3x faster through the gather unit,
         measured) and is exact for BC6H sources (they are half-float) and
         well below 1 u8 LSB for BC7/BC4 sources (2^-11 relative).
         "float32" preserves bit-exactness against the f32 reference path.
+
+        dtype="srgb8" stores rows as sRGB-encoded u8 (alpha linear u8) —
+        EXACTLY the precision of the BC7/BC4 source data (which is u8
+        sRGB before decode), 4x smaller than f16. v5e's gather slows
+        dramatically with table FOOTPRINT (measured 15 ns/row at 74 MB
+        -> 76 ns/row at 900 MB: DRAM locality), so multi-GB atlases
+        (porsche-class: 11x 2048^2 full-chain) MUST shrink; this is the
+        analog of the reference keeping BC-compressed textures resident
+        (src/wgpu.zig:130-194). The sampler (kernels/shade._trilerp)
+        applies the exact sRGB EOTF after the gather, before filtering —
+        the same decode-then-filter order as a GPU sampler. Requires LDR
+        content (values in [0, 1]; BC6H scenes keep float16).
         """
         import jax
         import jax.numpy as jnp
         import ml_dtypes
 
         host = self.texels
-        if dtype != "float32":
+        if dtype == "srgb8":
+            from tpurast.assets.bcdec import linear_to_srgb
+
+            assert host.size == 0 or host.max() <= 1.0 + 1e-6, (
+                "srgb8 atlas requires LDR content"
+            )
+            enc = np.empty(host.shape, dtype=np.uint8)
+            lanes = np.arange(host.shape[1]) % 4
+            rgb = lanes != 3
+            enc[:, rgb] = np.clip(
+                np.round(linear_to_srgb(np.clip(host[:, rgb], 0.0, 1.0)) * 255.0),
+                0,
+                255,
+            ).astype(np.uint8)
+            enc[:, ~rgb] = np.clip(
+                np.round(host[:, ~rgb] * 255.0), 0, 255
+            ).astype(np.uint8)
+            host = enc
+        elif dtype != "float32":
             np_dtype = {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16}.get(
                 dtype, dtype
             )
@@ -75,16 +108,21 @@ class TextureAtlas:
         # the parameter itself the gather source and a cross-program-
         # prefetch candidate (pinned on-chip across frames, like weights).
         texels = jnp.asarray(host)
-        try:
-            from jax.experimental.layout import Format, Layout
+        # Single-device only: device_put with an explicit Format COMMITS
+        # the array, and a committed single-device input is rejected by
+        # shard_map over a multi-device mesh (the sharded path re-uploads
+        # per its own replication instead).
+        if jax.device_count() == 1:
+            try:
+                from jax.experimental.layout import Format, Layout
 
-            dev = jax.devices()[0]
-            fmt = Format(
-                Layout((0, 1)), jax.sharding.SingleDeviceSharding(dev)
-            )
-            texels = jax.device_put(texels, fmt)
-        except Exception:  # pragma: no cover - layout API unavailable
-            pass
+                dev = jax.devices()[0]
+                fmt = Format(
+                    Layout((0, 1)), jax.sharding.SingleDeviceSharding(dev)
+                )
+                texels = jax.device_put(texels, fmt)
+            except Exception:  # pragma: no cover - layout API unavailable
+                pass
         return {
             "texels": texels,
             "offsets": jnp.asarray(self.offsets),

@@ -97,7 +97,7 @@ def _rnorm3(x, y, z):
     return jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
 
 
-def _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v):
+def _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v, texel_format="float"):
     """Trilinear sample with repeat addressing: ONE row gather.
 
     Atlas rows (device/textures.py) carry the own-mip 2x2 bilinear quad
@@ -153,8 +153,23 @@ def _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v):
     fy_i = one - fy
     t_i = one - tfrac
 
-    def tex(i):  # texel plane i of the gathered rows, upcast lazily
-        return row[i].astype(jnp.float32)
+    if texel_format == "srgb8":
+        # u8 storage: RGB lanes are sRGB-encoded (decode with the exact
+        # piecewise EOTF before filtering, like a GPU sampler on *_SRGB
+        # formats); alpha lanes (the specular mask) are linear u8.
+        def tex(i):
+            c = row[i].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+            if i % 4 == 3:
+                return c
+            return jnp.where(
+                c <= 0.04045,
+                c * jnp.float32(1.0 / 12.92),
+                ((c + jnp.float32(0.055)) * jnp.float32(1.0 / 1.055))
+                ** jnp.float32(2.4),
+            )
+    else:
+        def tex(i):  # texel plane i of the gathered rows, upcast lazily
+            return row[i].astype(jnp.float32)
 
     out = []
     for c in range(4):
@@ -287,6 +302,7 @@ def shade_deferred(
     max_anisotropy: int = 1,
     y_offset=0,
     blend: str = "alpha",
+    texel_format: str = "float",
 ):
     """Returns (4, H, W) f32 linear-color framebuffer (channel-planar).
 
@@ -364,7 +380,9 @@ def shade_deferred(
         tfrac = lod - l0.astype(jnp.float32)
         off0, tw0, th0 = level_fields(l0)
         _, tw1, th1 = level_fields(l1)
-        return _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v)
+        return _trilerp(
+            texels, off0, tw0, th0, tw1, th1, tfrac, u, v, texel_format
+        )
 
     if max_anisotropy <= 1:
         albedo = trilinear(uv_u, uv_v, rho2_max)
@@ -415,6 +433,7 @@ def shade_gbuffer(
     clear_color,
     max_anisotropy: int = 1,
     blend: str = "alpha",
+    texel_format: str = "float",
 ):
     """Forward-path shading tail: the resolve kernel already interpolated
     everything per pixel, so this is just texture taps (the only remaining
@@ -445,7 +464,9 @@ def shade_gbuffer(
     span = g(17)  # probe spread fraction from aniso_footprint (in-kernel)
 
     def trilinear_at(u, v):
-        return _trilerp(texels, off0, tw0, th0, tw1, th1, tfrac, u, v)
+        return _trilerp(
+            texels, off0, tw0, th0, tw1, th1, tfrac, u, v, texel_format
+        )
 
     if max_anisotropy <= 1:
         albedo = trilinear_at(uv_u, uv_v)

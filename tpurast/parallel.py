@@ -132,6 +132,13 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
             specular_power=config.specular_power,
             max_anisotropy=config.max_anisotropy,
             blend=config.blend,
+            # Derive the sampler decode mode from the uploaded atlas
+            # (srgb8 atlases are u8 arrays).
+            texture_format=(
+                "srgb8"
+                if str(scene_dev["atlas"]["texels"].dtype) == "uint8"
+                else "float"
+            ),
             shading=config.shading,
             binning=binning,
         )

@@ -56,6 +56,7 @@ def render_frame(
     specular_power: float,
     max_anisotropy: int = 1,
     blend: str = "alpha",
+    texture_format: str = "float",
     output: str = "srgb_u8",
     shading: str = "forward",
     binning: str = "scan",
@@ -135,6 +136,7 @@ def render_frame(
         clear_color=clear_color,
         max_anisotropy=max_anisotropy,
         blend=blend,
+        texel_format=texture_format,
     )
     vis = raster.rasterize_tiles(
         tile_counts,
@@ -214,7 +216,8 @@ class Renderer:
         self.config = config or RendererConfig()
         cfg = self.config
         self.scene_host = scene
-        self.scene = scene.device(self.config.texture_dtype)
+        self.texture_dtype = self._resolve_texture_dtype(scene, cfg.texture_dtype)
+        self.scene = scene.device(self.texture_dtype)
         self.output = output
         self._deferred_extent = None  # minimized-window deferral
         self._configure_target(cfg.width, cfg.height)
@@ -249,6 +252,20 @@ class Renderer:
             self.bin_capacity,
             cfg.clear_color,
         )
+
+    @staticmethod
+    def _resolve_texture_dtype(scene: DeviceScene, requested: str) -> str:
+        """texture_dtype="auto": float16 normally, sRGB-u8 rows when the
+        f16 atlas would exceed ~2 GB and the content is LDR. v5e gather
+        throughput degrades sharply with table footprint (DRAM
+        locality), so multi-GB atlases must shrink — the analog of the
+        reference keeping BC-compressed textures resident in VRAM."""
+        if requested != "auto":
+            return requested
+        f16_bytes = scene.atlas.texels.nbytes // 2
+        if f16_bytes > 2 << 30 and scene.atlas.max_value() <= 1.0 + 1e-6:
+            return "srgb8"
+        return "float16"
 
     # -- swapchain-equivalent: (re)configure render target ----------------
     def _configure_target(self, width: int, height: int) -> None:
@@ -325,6 +342,9 @@ class Renderer:
                 specular_power=cfg.specular_power,
                 max_anisotropy=cfg.max_anisotropy,
                 blend=cfg.blend,
+                texture_format=(
+                    "srgb8" if self.texture_dtype == "srgb8" else "float"
+                ),
                 output=self.output,
                 shading=cfg.shading,
                 binning=self.binning,
