@@ -54,6 +54,16 @@ def main() -> int:
     ap.add_argument("--rmax", type=float, default=0.6)
     ap.add_argument("--out", default="/tmp/pose.json")
     ap.add_argument("--save-best", default=None)
+    ap.add_argument("--seed", default=None, help="warm-start pose JSON from a previous run")
+    ap.add_argument("--sigma", type=float, default=0.08, help="refinement step scale")
+    ap.add_argument(
+        "--mask-mode",
+        default="coverage",
+        choices=["coverage", "brown"],
+        help="coverage: non-background silhouette (useless for enclosed "
+        "scenes: the arena box covers every pixel); brown: wood-hue mask "
+        "(the crate) applied to BOTH images — robust for demo-scene poses",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -77,12 +87,33 @@ def main() -> int:
         center = np.array([0.0, 1.0, 0.0]) if args.center is None else np.array(args.center)
 
     r = Renderer(scene, RendererConfig(width=args.width, height=args.height))
-    mask_ref, _ = ref_mask(args.ref, args.width, args.height)
 
-    def render_mask(cam):
-        out = r.render(cam)
-        depth = np.asarray(out["depth"])
-        return depth > 0.0
+    def brown(img):
+        # Wood-hue classifier (the crate texture): warm, desaturated-red,
+        # clearly not the magenta floor/sky (b ~ r there) or green dragon.
+        rr = img[..., 0].astype(np.int32)
+        gg = img[..., 1].astype(np.int32)
+        bb = img[..., 2].astype(np.int32)
+        return (rr > 50) & (rr * 10 > gg * 11) & (gg * 10 > bb * 11) & (rr < 240)
+
+    if args.mask_mode == "brown":
+        from PIL import Image
+
+        full = np.asarray(Image.open(args.ref).convert("RGB"))[31:]
+        small = np.asarray(
+            Image.fromarray(full).resize((args.width, args.height), Image.BILINEAR)
+        )
+        mask_ref = brown(small)
+
+        def render_mask(cam):
+            return brown(r.render_to_host(cam))
+    else:
+        mask_ref, _ = ref_mask(args.ref, args.width, args.height)
+
+        def render_mask(cam):
+            out = r.render(cam)
+            depth = np.asarray(out["depth"])
+            return depth > 0.0
 
     def iou(a, b):
         inter = (a & b).sum()
@@ -91,11 +122,18 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     best = (-1.0, None)
+    if args.seed:
+        seed = json.load(open(args.seed))
+        spos = np.array(seed["position"])
+        stgt = np.array(seed["target"])
+        cam = Camera.from_target(spos.astype(np.float32), stgt.astype(np.float32))
+        best = (iou(render_mask(cam), mask_ref), (spos, stgt))
+        print(f"seed IoU {best[0]:.4f}", flush=True)
     # Coarse-to-fine random search: sample around the running best with
     # shrinking step; positions on a sphere around `center`.
     for it in range(args.iters):
         tscale = max(0.05, 1.0 - it / args.iters)
-        if best[1] is None or rng.uniform() < 0.2:
+        if best[1] is None or (args.seed is None and rng.uniform() < 0.2):
             rad = rng.uniform(args.rmin, args.rmax)
             az = rng.uniform(0, 2 * np.pi)
             el = rng.uniform(-0.9, 0.9)
@@ -105,8 +143,8 @@ def main() -> int:
             tgt = center + rng.normal(0, 0.03, 3)
         else:
             bpos, btgt = best[1]
-            pos = bpos + rng.normal(0, 0.08 * tscale, 3)
-            tgt = btgt + rng.normal(0, 0.03 * tscale, 3)
+            pos = bpos + rng.normal(0, args.sigma * tscale, 3)
+            tgt = btgt + rng.normal(0, args.sigma * 0.4 * tscale, 3)
         cam = Camera.from_target(pos.astype(np.float32), tgt.astype(np.float32))
         score = iou(render_mask(cam), mask_ref)
         if score > best[0]:

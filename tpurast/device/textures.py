@@ -77,23 +77,30 @@ class TextureAtlas:
 
         host = self.texels
         if dtype == "srgb8":
-            from tpurast.assets.bcdec import linear_to_srgb
-
             assert host.size == 0 or host.max() <= 1.0 + 1e-6, (
                 "srgb8 atlas requires LDR content"
             )
-            enc = np.empty(host.shape, dtype=np.uint8)
-            lanes = np.arange(host.shape[1]) % 4
-            rgb = lanes != 3
-            enc[:, rgb] = np.clip(
-                np.round(linear_to_srgb(np.clip(host[:, rgb], 0.0, 1.0)) * 255.0),
-                0,
-                255,
-            ).astype(np.uint8)
-            enc[:, ~rgb] = np.clip(
-                np.round(host[:, ~rgb] * 255.0), 0, 255
-            ).astype(np.uint8)
-            host = enc
+            # EXACT sRGB u8 encode via decision boundaries: u8 value k is
+            # chosen iff x >= EOTF((k - 0.5)/255), so one searchsorted
+            # against the 255 precomputed boundaries replaces a
+            # billion-element np.power (minutes -> seconds on the
+            # porsche-class atlas) with bit-identical results.
+            mid = (np.arange(1, 256, dtype=np.float64) - 0.5) / 255.0
+            bounds_srgb = np.where(
+                mid <= 0.04045, mid / 12.92, ((mid + 0.055) / 1.055) ** 2.4
+            ).astype(np.float32)
+            bounds_lin = ((np.arange(1, 256) - 0.5) / 255.0).astype(np.float32)
+            # Contiguous (N, 13, 4) views keep the per-lane split cheap
+            # (boolean-mask indexing copies the whole table twice).
+            texels4 = host.reshape(host.shape[0], -1, 4)
+            enc = np.empty(texels4.shape, dtype=np.uint8)
+            enc[..., :3] = np.searchsorted(
+                bounds_srgb, np.clip(texels4[..., :3], 0.0, 1.0)
+            )
+            enc[..., 3] = np.searchsorted(
+                bounds_lin, np.clip(texels4[..., 3], 0.0, 1.0)
+            )
+            host = enc.reshape(host.shape)
         elif dtype != "float32":
             np_dtype = {"bfloat16": ml_dtypes.bfloat16, "float16": np.float16}.get(
                 dtype, dtype
@@ -207,37 +214,40 @@ def decode_ktx2_texture(tex: ktx2.Ktx2Texture) -> list[np.ndarray]:
     return mips
 
 
-def _quad_rows(m: np.ndarray) -> np.ndarray:
-    """(H, W, 4) -> (H, W, 16) 2x2 wrapped bilinear footprints."""
-    right = np.roll(m, -1, axis=1)
-    down = np.roll(m, -1, axis=0)
-    diag = np.roll(right, -1, axis=0)
-    return np.concatenate([m, right, down, diag], axis=-1).astype(np.float32)
-
-
 def _trilerp_rows(m: np.ndarray, parent: np.ndarray | None) -> np.ndarray:
     """(H, W, 4) + parent mip -> (H*W, 52) trilerp rows.
 
-    Columns 0:16 are the own-mip quad; 16:52 the parent 3x3 window
-    (row-major texel order, 4 channels each) anchored at
-    ((x-1)//2 mod w1, (y-1)//2 mod h1). For the last mip (parent None)
-    the window is zero — the sampler's mip fraction is exactly 0 there.
+    Columns 0:16 are the own-mip quad (2x2 wrapped bilinear footprint);
+    16:52 the parent 3x3 window (row-major texel order, 4 channels each)
+    anchored at ((x-1)//2 mod w1, (y-1)//2 mod h1). For the last mip
+    (parent None) the window is zero — the sampler's mip fraction is
+    exactly 0 there. Writes straight into one preallocated row buffer
+    (the concat-of-concats formulation re-copied every chunk and
+    dominated multi-GB atlas builds).
     """
     h, w = m.shape[:2]
-    own = _quad_rows(m).reshape(-1, 16)
+    m = np.ascontiguousarray(m, dtype=np.float32)
+    out = np.empty((h * w, ROW_WIDTH), dtype=np.float32)
+    own = out[:, :16].reshape(h, w, 4, 4)
+    own[..., 0, :] = m
+    right = np.roll(m, -1, axis=1)
+    own[..., 1, :] = right
+    own[..., 2, :] = np.roll(m, -1, axis=0)
+    own[..., 3, :] = np.roll(right, -1, axis=0)
     if parent is None:
-        return np.concatenate(
-            [own, np.zeros((h * w, 36), dtype=np.float32)], axis=-1
-        )
+        out[:, 16:] = 0.0
+        return out
     h1, w1 = parent.shape[:2]
+    parent = np.ascontiguousarray(parent, dtype=np.float32)
     bx = (np.arange(w) - 1) // 2 % w1  # (W,)
     by = (np.arange(h) - 1) // 2 % h1  # (H,)
-    cols = []
+    win = out[:, 16:].reshape(h, w, 9, 4)
     for dy in range(3):
+        py = (by + dy) % h1
         for dx in range(3):
-            cols.append(parent[(by[:, None] + dy) % h1, (bx[None, :] + dx) % w1])
-    win = np.concatenate(cols, axis=-1).reshape(-1, 36).astype(np.float32)
-    return np.concatenate([own, win], axis=-1)
+            px = (bx + dx) % w1
+            win[:, :, dy * 3 + dx, :] = parent[py[:, None], px[None, :]]
+    return out
 
 
 def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
