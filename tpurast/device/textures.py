@@ -252,13 +252,41 @@ def _trilerp_rows(m: np.ndarray, parent: np.ndarray | None) -> np.ndarray:
 
 def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
     """Pack per-texture mip pyramids ((H, W, 4) f32 linear each) into the
-    flat quad-row atlas. Texture order defines texture ids."""
+    flat quad-row atlas. Texture order defines texture ids.
+
+    HOT/COLD packing: mips >= 2 of every texture are allocated FIRST,
+    mip 0/1 after. The two largest mips are ~94% of the bytes but a
+    minority of samples at screen resolutions (minified content samples
+    mid mips), and v5e gather throughput is bound by the FOOTPRINT the
+    accesses spread over — concentrating the frequently-sampled mips in
+    a compact prefix keeps their DRAM locality independent of how many
+    multi-hundred-MB base mips sit behind them. Offsets are absolute, so
+    the sampler is unaffected.
+    """
     n_tex = len(textures)
     offsets = np.zeros((n_tex, MAX_MIPS), dtype=np.int32)
     sizes = np.ones((n_tex, MAX_MIPS, 2), dtype=np.int32)
     n_mips = np.zeros(n_tex, dtype=np.int32)
     chunks = []
     cursor = 0
+
+    def alloc(ti, mi, mips):
+        nonlocal cursor
+        m = mips[mi]
+        h, w = m.shape[:2]
+        # 256-row alignment: the resolve kernel carries offsets through
+        # f32 as offset/256, which is exact only when aligned (raw
+        # offsets exceed f32's 2^24 integer range on multi-GB atlases).
+        pad = (-cursor) % 256
+        if pad:
+            chunks.append(np.zeros((pad, ROW_WIDTH), dtype=np.float32))
+            cursor += pad
+        offsets[ti, mi] = cursor
+        sizes[ti, mi] = (w, h)
+        parent = mips[mi + 1] if mi + 1 < len(mips) else None
+        chunks.append(_trilerp_rows(m, parent))
+        cursor += h * w
+
     for ti, mips in enumerate(textures):
         assert len(mips) <= MAX_MIPS
         # The packed parent-mip 3x3 window and the kernel-side dx/dy in
@@ -273,20 +301,11 @@ def build_atlas(textures: list[list[np.ndarray]]) -> TextureAtlas:
                 "single-gather trilinear atlas (parent-window anchors)"
             )
         n_mips[ti] = len(mips)
-        for mi, m in enumerate(mips):
-            h, w = m.shape[:2]
-            # 256-row alignment: the resolve kernel carries offsets through
-            # f32 as offset/256, which is exact only when aligned (raw
-            # offsets exceed f32's 2^24 integer range on multi-GB atlases).
-            pad = (-cursor) % 256
-            if pad:
-                chunks.append(np.zeros((pad, ROW_WIDTH), dtype=np.float32))
-                cursor += pad
-            offsets[ti, mi] = cursor
-            sizes[ti, mi] = (w, h)
-            parent = mips[mi + 1] if mi + 1 < len(mips) else None
-            chunks.append(_trilerp_rows(m, parent))
-            cursor += h * w
+        for mi in range(2, len(mips)):  # hot zone: mips >= 2
+            alloc(ti, mi, mips)
+    for ti, mips in enumerate(textures):
+        for mi in range(min(2, len(mips))):  # cold zone: mips 0, 1
+            alloc(ti, mi, mips)
         # Clamp lod beyond the chain to the last mip.
         for mi in range(len(mips), MAX_MIPS):
             offsets[ti, mi] = offsets[ti, len(mips) - 1]
