@@ -11,7 +11,7 @@ expressed as a data-dependent Pallas index map over a static grid
 (PrefetchScalarGridSpec: segment tables live in SMEM and drive both the
 kernel and the BlockSpec index maps).
 
-Each segment walks its triangles in SUB-BLOCKS OF 8 (the f32 sublane
+Each segment walks its triangles in sub-blocks of TRI_SUB (the f32 sublane
 granularity): per-triangle setup fields are (8, 1) sublane columns
 (setup is pre-gathered row-major, (G*128, SETUP_WIDTH)), pixels are a
 (1, P) lane row, so every edge evaluation is a legal single-axis-
@@ -64,7 +64,16 @@ from tpurast.kernels.geometry import (  # noqa: E402
     SETUP_WIDTH,
 )
 
-SUB = 8  # triangles per sub-block == f32 sublane granularity
+# Pixel rows per row group == f32 sublane width (the merge reshape
+# (ROW_SUB, tile_w) must be register-shaped).
+SUB = 8
+# Triangles per sub-block (multiple of the sublane width). Larger blocks
+# amortize the dynamic-loop per-iteration overhead (~0.8 us: bound
+# checks + field slicing) that dominates dense scenes — 4K instancing
+# ran ~77k sub-blocks at 8 (= ~60 ms of loop overhead) — at the cost of
+# evaluating all of a sub-block's triangles against the union of their
+# row groups.
+TRI_SUB = 16
 
 
 def _edge_covered(e, a, b):
@@ -118,13 +127,15 @@ def _raster_kernel(
     @pl.when(count > 0)
     def _chunk():
         def sub_block(b, _):
-            rows = setup_ref[pl.ds(pl.multiple_of(b * SUB, SUB), SUB), :]
+            rows = setup_ref[pl.ds(pl.multiple_of(b * TRI_SUB, TRI_SUB), TRI_SUB), :]
 
-            def f(i):  # per-triangle field as an (8, 1) sublane column
+            def f(i):  # per-triangle field as a (TRI_SUB, 1) sublane column
                 return rows[:, i : i + 1]
 
-            sub_idx = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0) + b * SUB
-            active = sub_idx < count  # (8, 1)
+            sub_idx = (
+                jax.lax.broadcasted_iota(jnp.int32, (TRI_SUB, 1), 0) + b * TRI_SUB
+            )
+            active = sub_idx < count  # (TRI_SUB, 1)
 
             # Row-group range: the y extent of this sub-block's faces,
             # conservatively widened one pixel (coverage happens at
@@ -208,7 +219,7 @@ def _raster_kernel(
             jax.lax.fori_loop(g0, g1 + 1, row_group, 0)
             return 0
 
-        n_sub = (count + SUB - 1) // SUB
+        n_sub = (count + TRI_SUB - 1) // TRI_SUB
         jax.lax.fori_loop(0, n_sub, sub_block, 0)
 
 
