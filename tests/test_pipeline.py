@@ -217,7 +217,15 @@ def test_forward_shading_matches_deferred(demo_scene):
 
 
 def test_forward_matches_deferred_anisotropic(demo_scene):
-    cfgs = dict(width=128, height=96, segment_headroom=192, max_anisotropy=4)
+    # sampler="gather" pins the row-atlas engine on the forward path:
+    # the exact-equality invariant is between the two SHADING
+    # architectures sharing one sampling formula. The windowed engine
+    # is a different aniso filter (per-tile dynamic probe count) and is
+    # budget-tested separately (tests/test_sampler.py).
+    cfgs = dict(
+        width=128, height=96, segment_headroom=192, max_anisotropy=4,
+        sampler="gather",
+    )
     cam = Camera.from_target([0.0, 1.3, -1.5], [0.0, 1.6, 1.0])  # grazing floor
     fwd = Renderer(demo_scene, RendererConfig(shading="forward", **cfgs))
     dfr = Renderer(demo_scene, RendererConfig(shading="deferred", **cfgs))

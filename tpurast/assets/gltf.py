@@ -178,8 +178,12 @@ def parse_glb(blob: bytes, post_transform: np.ndarray | None = None) -> GltfMode
         node = gltf_json["nodes"][node_index]
         # Application order: node local transform, then the accumulated
         # ancestor chain, then model->world, then post_transform
-        # (src/Renderer.zig:797-799; SURVEY §2.4.2). The reference passes
-        # the composed matrix down its loadNodes recursion the same way.
+        # (src/Renderer.zig:797-799; SURVEY §2.4.2). DELIBERATE
+        # DEVIATION: the reference's loadNodes (src/Renderer.zig:946)
+        # passes only post_transform down the recursion and drops the
+        # ancestor chain; we follow the glTF spec and accumulate it.
+        # All shipped assets have flat hierarchies, where the two agree —
+        # the divergence only matters for nested-node assets.
         local = math3d.compose(_node_local_transform(node), parent)
         model_matrix = math3d.compose(local, model_to_world, post_transform)
         nmat = math3d.normal_matrix(model_matrix)

@@ -24,6 +24,15 @@ def main() -> int:
     ap.add_argument("--texture-dtype", default=None)
     ap.add_argument("--tile-h", type=int, default=None)
     ap.add_argument("--tile-w", type=int, default=None)
+    # Runtime toggles, the analog of the reference's ImGui settings
+    # (VSync checkbox src/Renderer.zig:970-973) plus every pipeline mode.
+    ap.add_argument("--max-anisotropy", type=int, default=None)
+    ap.add_argument(
+        "--vsync", action="store_true",
+        help="cap the present loop at 60 Hz (Engine.vsync analog)"
+    )
+    ap.add_argument("--shading", default=None, choices=["forward", "deferred"])
+    ap.add_argument("--binning", default=None, choices=["auto", "pairs", "scan"])
     ap.add_argument(
         "--scene",
         default="demo",
@@ -31,6 +40,10 @@ def main() -> int:
         help="demo = reference Engine.init scene; dragons64 = BASELINE config #4",
     )
     ap.add_argument("--save", default=None, help="save last frame PNG here")
+    ap.add_argument(
+        "--skip-parity-gate", action="store_true",
+        help="skip the compiled-vs-interpret TPU parity check",
+    )
     args = ap.parse_args()
 
     import jax
@@ -62,8 +75,53 @@ def main() -> int:
         overrides["tile_h"] = args.tile_h
     if args.tile_w:
         overrides["tile_w"] = args.tile_w
+    if args.max_anisotropy is not None:
+        overrides["max_anisotropy"] = args.max_anisotropy
+    if args.shading:
+        overrides["shading"] = args.shading
+    if args.binning:
+        overrides["binning"] = args.binning
     cfg = RendererConfig(width=args.width, height=args.height, **overrides)
     renderer = Renderer(scene, cfg)
+
+    # TPU correctness gate (validation-layer analog, src/Renderer.zig:
+    # 1229-1247): render one small frame with the compiled Pallas kernels
+    # and once more with the kernels in interpret mode (plain XLA ops on
+    # the SAME device); any >1-LSB pixel means a Pallas-only semantics
+    # bug (CPU CI provably masks these — round 2's stale-VMEM revisit
+    # bug was this class). The bench REFUSES to print a perf number on
+    # failure.
+    parity_max_lsb = None
+    if jax.default_backend() == "tpu" and not args.skip_parity_gate:
+        from tpurast.kernels import force_interpret
+        from tpurast.present import interleave
+
+        gate_cam = Camera.from_target(
+            np.array([1.2 * np.sin(0.4), 0.75, -1.2 * np.cos(0.4)], np.float32),
+            [0.0, 0.95, 0.0],
+        )
+        gate_cfg = RendererConfig(width=256, height=128, **overrides)
+        ra = Renderer(scene, gate_cfg)
+        fa = ra.render_to_host(gate_cam).astype(np.int32)
+        with force_interpret():
+            rb = Renderer(scene, gate_cfg)
+            fb = rb.render_to_host(gate_cam).astype(np.int32)
+        parity_max_lsb = int(np.abs(fa - fb).max())
+        if parity_max_lsb > 1:
+            bad = int((np.abs(fa - fb) > 1).sum())
+            print(
+                json.dumps(
+                    {
+                        "metric": "parity_gate_failed",
+                        "value": parity_max_lsb,
+                        "unit": "max_lsb_diff",
+                        "bad_channels": bad,
+                        "note": "compiled vs interpret-mode render diverged"
+                        " on TPU; perf numbers withheld",
+                    }
+                )
+            )
+            return 1
 
     # Flythrough cameras (precomputed uniforms so the loop measures only
     # render + readback): slow orbit near the crate/dragon like the
@@ -84,7 +142,7 @@ def main() -> int:
 
     # Warmup / compile.
     for u in uniforms[: args.warmup]:
-        sync(renderer._frame_fn(renderer.scene, *u))
+        sync(renderer.render_with_uniforms(*u))
 
     # Device frame time, measured in windows of `group` frames bracketed
     # by one sync each (amortizes the ~30 ms tunnel roundtrip to ~2 ms
@@ -100,7 +158,7 @@ def main() -> int:
     for g in range(0, len(batch), group):
         prev = time.perf_counter()
         for u in batch[g : g + group]:
-            frame = renderer._frame_fn(renderer.scene, *u)
+            frame = renderer.render_with_uniforms(*u)
         sync(frame)
         now = time.perf_counter()
         times.extend([(now - prev) / len(batch[g : g + group])] * len(batch[g : g + group]))
@@ -118,7 +176,10 @@ def main() -> int:
     n_present = min(len(batch), 48)
     tp0 = time.perf_counter()
     for u in batch[:n_present]:
-        img = presenter.present(renderer._frame_fn(renderer.scene, *u)["color"])
+        t_frame = time.perf_counter()
+        img = presenter.present(renderer.render_with_uniforms(*u)["color"])
+        if args.vsync:  # Engine.vsync analog: 60 Hz frame cap
+            time.sleep(max(0.0, 1.0 / 60.0 - (time.perf_counter() - t_frame)))
         if img is not None:
             last_host = img
     tail = presenter.flush()
@@ -151,6 +212,7 @@ def main() -> int:
         "frames": args.frames,
         "wall_s": round(wall, 2),
         "dropped_pairs": dropped_total,
+        "parity_max_lsb": parity_max_lsb,
         "present_ms_per_frame": round(present_ms, 4),
         "present_fps": round(1000.0 / present_ms, 2) if present_ms > 0 else None,
         "backend": jax.default_backend(),

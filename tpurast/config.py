@@ -81,9 +81,10 @@ class RendererConfig:
     # "float16"/"bfloat16"/"srgb8" select explicitly.
     texture_dtype: str = "auto"
 
-    # Texture sampling: trilinear by default (the reference requests
-    # anisotropy 16 (src/Renderer.zig:515) but the baseline configs only
-    # demand mip/trilinear; aniso is a future flag).
+    # Texture sampling anisotropy: ratio-clamped probes along the
+    # major-axis gradient, implemented in both shading paths
+    # (kernels/shade.aniso_footprint). The reference sampler always
+    # requests maxAnisotropy 16 (src/Renderer.zig:515).
     max_anisotropy: int = 1
     # Framebuffer blend state (src/Renderer.zig:447-458): "alpha" is the
     # reference's srcAlpha/oneMinusSrcAlpha+add color blend with zero/one
@@ -94,6 +95,14 @@ class RendererConfig:
     # Pallas resolve kernel (kernels/resolve.py; fastest); "deferred" is
     # the per-pixel fat-gather path (same output, kept for verification).
     shading: str = "forward"
+
+    # Texture sampling engine (forward shading only): "window" samples
+    # through per-tile VMEM texel windows + MXU one-hot selection
+    # (kernels/sampler.py — footprint-independent, the porsche-class
+    # fix); "gather" is the per-pixel atlas row gather. "auto" picks
+    # window when the scene has texture pages, with gather as the
+    # per-tile fallback for unwindowable tiles either way.
+    sampler: str = "auto"
 
     @property
     def vfov(self) -> float:

@@ -22,6 +22,7 @@ import numpy as np
 
 from tpurast.assets.gltf import GltfModel, PrimitiveDraw, load_glb
 from tpurast.assets.ktx2 import load_ktx2
+from tpurast.device import pages as pages_mod
 from tpurast.device import textures as tex_mod
 
 log = logging.getLogger("tpurast.device")
@@ -57,6 +58,9 @@ class DeviceScene:
     prim_tex: np.ndarray  # (P,) i32 texture id (0 = fallback)
     atlas: tex_mod.TextureAtlas
     texture_uris: list[str]
+    # 2D mip rects for the windowed sampling kernel (device/pages.py);
+    # None disables the windowed path for this scene.
+    pages: "object | None" = None
 
     @property
     def triangle_count(self) -> int:
@@ -65,7 +69,13 @@ class DeviceScene:
     def device(self, texture_dtype: str = "float16"):
         import jax.numpy as jnp
 
-        return {
+        # Memoized per dtype: atlas conversion/upload is the expensive
+        # part (minutes for multi-GB srgb8 encodes) and every Renderer
+        # ctor calls device() — the bench parity gate alone builds three.
+        cache = self.__dict__.setdefault("_device_cache", {})
+        if texture_dtype in cache:
+            return cache[texture_dtype]
+        cache[texture_dtype] = out = {
             "positions": jnp.asarray(self.positions),
             "normals": jnp.asarray(self.normals),
             "uvs": jnp.asarray(self.uvs),
@@ -78,6 +88,15 @@ class DeviceScene:
             "prim_tex": jnp.asarray(self.prim_tex),
             "atlas": self.atlas.device(texture_dtype),
         }
+        if self.pages is not None:
+            out["atlas"].update(self.pages.device(self.page_dtype()))
+        return out
+
+    def page_dtype(self) -> str:
+        """bf16 pages: 2^-9 relative texel error, under half a u8 LSB
+        through the shading chain (and the MXU selection runs bf16
+        regardless — f32 pages would round identically in the matmul)."""
+        return "bfloat16"
 
 
 def build_scene(
@@ -172,6 +191,7 @@ def build_scene(
         prim_tex=np.asarray(prim_tex if prim_tex else [0], dtype=np.int32),
         atlas=tex_mod.build_atlas(pyramids),
         texture_uris=texture_uris,
+        pages=pages_mod.build_pages(pyramids),
     )
 
 

@@ -11,15 +11,15 @@ expressed as a data-dependent Pallas index map over a static grid
 (PrefetchScalarGridSpec: segment tables live in SMEM and drive both the
 kernel and the BlockSpec index maps).
 
-Each segment walks its triangles in sub-blocks of TRI_SUB (the f32 sublane
-granularity): per-triangle setup fields are (8, 1) sublane columns
-(setup is pre-gathered row-major, (G*128, SETUP_WIDTH)), pixels are a
-(1, P) lane row, so every edge evaluation is a legal single-axis-
-broadcast multiply producing (8, P). Two levels of work restriction cut
-the evaluated (pixel, triangle) pairs by >10x vs a dense
-(pixels x 128-lane) formulation:
-  * triangle occupancy is 8-granular — a tile bin with c triangles costs
-    ceil(c/8) sub-blocks, not a full 128-lane chunk;
+Each segment walks its triangles in sub-blocks of TRI_SUB (a multiple of
+the f32 sublane width): per-triangle setup fields are (TRI_SUB, 1)
+sublane columns (setup is pre-gathered row-major, (G*128, SETUP_WIDTH)),
+pixels are a (1, P) lane row, so every edge evaluation is a legal
+single-axis-broadcast multiply producing (TRI_SUB, P). Two levels of
+work restriction cut the evaluated (pixel, triangle) pairs by >10x vs a
+dense (pixels x 128-lane) formulation:
+  * triangle occupancy is TRI_SUB-granular — a tile bin with c triangles
+    costs ceil(c/TRI_SUB) sub-blocks, not a full 128-lane chunk;
   * each sub-block only evaluates the tile ROW GROUPS (8 pixel rows)
     its triangles' screen-y extent can touch (FIELD_YMIN/YMAX), a
     hierarchical coverage test at 8-row granularity.
@@ -155,16 +155,16 @@ def _raster_kernel(
             # triangles the region is analytically empty but float noise
             # on sub-pixel triangles can make all three e's positive,
             # spraying phantom dust across the screen.
-            crossing = (f(12) <= 0.0) | (f(13) <= 0.0) | (f(14) <= 0.0)  # (8, 1)
+            crossing = (f(12) <= 0.0) | (f(13) <= 0.0) | (f(14) <= 0.0)  # (TRI_SUB, 1)
 
             def row_group(gi, _):
                 py = py0 + (gi * SUB).astype(jnp.float32)  # (1, P)
                 # Anchored evaluation: coordinates relative to the
                 # per-face anchor keep products small (f32 precision for
                 # tiny triangles).
-                pxr = px - f(FIELD_ANCHOR_X)  # (8, P)
+                pxr = px - f(FIELD_ANCHOR_X)  # (TRI_SUB, P)
                 pyr = py - f(FIELD_ANCHOR_Y)
-                e0 = pxr * f(0) + pyr * f(1) + f(2)  # (8, P)
+                e0 = pxr * f(0) + pyr * f(1) + f(2)  # (TRI_SUB, P)
                 e1 = pxr * f(3) + pyr * f(4) + f(5)
                 e2 = pxr * f(6) + pyr * f(7) + f(8)
 
@@ -188,7 +188,7 @@ def _raster_kernel(
                 w_front = (ew * esum) > 0.0
                 z = ez / jnp.where(ew == 0.0, jnp.float32(1e-30), ew)
                 z_ok = (z >= 0.0) & (z <= 1.0)
-                covered = (cov_n | cov_p) & w_front & z_ok & active  # (8, P)
+                covered = (cov_n | cov_p) & w_front & z_ok & active  # (TRI_SUB, P)
 
                 z_masked = jnp.where(covered, z, jnp.float32(-1.0))
                 z_best = jnp.max(z_masked, axis=0, keepdims=True)  # (1, P)

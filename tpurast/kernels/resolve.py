@@ -58,15 +58,18 @@ from tpurast.kernels.raster import CHUNK
 #   52,53  mip-0 width, height
 #   54     mip count
 #   55     constant 1.0 (selects into the per-pixel "matched" flag)
-A_IN = 56
+#   56     texture id (exact small integer in f32)
+A_IN = 57
 
 # G-buffer plane layout (A_OUT planes, per pixel):
 #   0..2 world | 3..5 normal | 6,7 u,v | 8 off0/256 | 9,10 tw0,th0
 #   11,12 tw1,th1 | 13 mip frac | 14,15 aniso major du,dv
 #   16 matched flag | 17 aniso probe span (shade.aniso_footprint)
-#   18..23 pad
+#   18 texture id | 19 mip level l0 | 20..23 pad
 # (No off1: the parent-mip texels ride the own-mip atlas row,
-# device/textures.py, so only the parent DIMENSIONS are needed.)
+# device/textures.py, so only the parent DIMENSIONS are needed.
+# Planes 18/19 feed the windowed sampler's tile planning,
+# kernels/sampler.py.)
 A_OUT = 24
 MAX_MIPS = 16
 
@@ -99,6 +102,7 @@ def pack_resolve_attrs(setup, face_world, face_normal, face_uv, face_tex, atlas)
             face_normal.reshape(f, 9),
             tex_cols,
             jnp.ones((f, 1), dtype=jnp.float32),
+            face_tex.astype(jnp.float32)[:, None],
         ],
         axis=1,
     ).astype(jnp.float32)
@@ -243,8 +247,9 @@ def _resolve_kernel(
                 tw1, th1,
                 tfrac, maj_du, maj_dv,
                 matched, span,
+                s(56), l0,
             ]
-            + [jnp.zeros_like(matched)] * (A_OUT - 18),
+            + [jnp.zeros_like(matched)] * (A_OUT - 20),
             axis=0,
         )  # (A_OUT, th, tw)
         out_ref[...] = jnp.where(matched > 0.0, new, out_ref[...])

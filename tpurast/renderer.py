@@ -35,6 +35,74 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _shade_windowed(
+    gbuf,
+    scene,
+    camera_position,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    tile_h: int,
+    tile_w: int,
+    light_kwargs,
+):
+    """Windowed sampling + in-kernel lighting (kernels/sampler.py), with
+    the per-pixel gather path as a per-tile fallback for tiles whose
+    texel footprint exceeds the static window classes. The fallback is
+    under lax.cond: frames where every covered tile fits (the designed
+    common case) never execute the gather. Returns (framebuffer,
+    window_miss_px) — the counter is surfaced like bin_overflow so an
+    unwindowable scene is visible, not silently slow."""
+    from tpurast.kernels import sampler as ksampler
+
+    kw = dict(light_kwargs)
+    kw.pop("texel_format")
+    texel_format = light_kwargs["texel_format"]
+    max_anisotropy = kw.pop("max_anisotropy")
+    plan = ksampler.plan_tiles(
+        gbuf,
+        scene["atlas"]["page_origins"],
+        scene["atlas"]["page_sizes"],
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        max_anisotropy=max_anisotropy,
+    )
+    fb_win = ksampler.sample_tiles(
+        gbuf,
+        scene["atlas"]["page"],
+        plan,
+        camera_position,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        max_anisotropy=max_anisotropy,
+        **kw,
+    )
+
+    def fallback(_):
+        return shade.shade_gbuffer(
+            gbuf,
+            scene["atlas"]["texels"],
+            camera_position,
+            max_anisotropy=max_anisotropy,
+            texel_format=texel_format,
+            **kw,
+        )
+
+    miss = plan["residual_px"]
+    fb_fall = jax.lax.cond(
+        miss > 0, fallback, lambda _: jnp.zeros_like(fb_win), None
+    )
+    res_px = jnp.broadcast_to(
+        plan["residual_tile"].reshape(tiles_y, 1, tiles_x, 1),
+        (tiles_y, tile_h, tiles_x, tile_w),
+    ).reshape(tiles_y * tile_h, tiles_x * tile_w)
+    return jnp.where(res_px[None], fb_fall, fb_win), miss
+
+
 def render_frame(
     scene,
     view_proj,
@@ -60,6 +128,7 @@ def render_frame(
     output: str = "srgb_u8",
     shading: str = "forward",
     binning: str = "scan",
+    sampler: str = "gather",
     tile_row_offset=None,
     crop_height: int | None = None,
 ):
@@ -171,9 +240,22 @@ def render_frame(
             max_anisotropy=max_anisotropy,
             tile_row_offset=tile_row_offset,
         )
-        framebuffer = shade.shade_gbuffer(
-            gbuf, scene["atlas"]["texels"], camera_position, **light_kwargs
-        )  # (4, Hp, Wp)
+        if sampler == "window":
+            framebuffer, window_miss_px = _shade_windowed(
+                gbuf,
+                scene,
+                camera_position,
+                tiles_x=tiles_x,
+                tiles_y=tiles_y,
+                tile_h=tile_h,
+                tile_w=tile_w,
+                light_kwargs=light_kwargs,
+            )
+        else:
+            framebuffer = shade.shade_gbuffer(
+                gbuf, scene["atlas"]["texels"], camera_position, **light_kwargs
+            )  # (4, Hp, Wp)
+            window_miss_px = jnp.int32(0)
     else:
         fid = vis[1].astype(jnp.int32)
         shade_rows = shade.pack_shade_rows(
@@ -192,9 +274,11 @@ def render_frame(
             y_offset=y_offset_px,
             **light_kwargs,
         )
+        window_miss_px = jnp.int32(0)
     result = {
         "depth": present.crop_linear(depth, width, out_h),
         "bin_overflow": jnp.sum(overflow) + dropped_segments,
+        "window_miss_px": window_miss_px,
     }
     if output == "srgb_u8":
         result["color"] = present.encode_srgb_u8(framebuffer, width, out_h)
@@ -219,7 +303,6 @@ class Renderer:
         self.texture_dtype = self._resolve_texture_dtype(scene, cfg.texture_dtype)
         self.scene = scene.device(self.texture_dtype)
         self.output = output
-        self._deferred_extent = None  # minimized-window deferral
         self._configure_target(cfg.width, cfg.height)
         # Startup dump — the analog of the reference's adapter
         # properties/limits/features log (src/Renderer.zig:176-249).
@@ -270,6 +353,17 @@ class Renderer:
     # -- swapchain-equivalent: (re)configure render target ----------------
     def _configure_target(self, width: int, height: int) -> None:
         cfg = self.config
+        # Sampling engine: windowed (kernels/sampler.py) when the scene
+        # carries texture pages and the shading path is forward; the
+        # deferred path and pageless scenes use the row-atlas gather.
+        if (
+            cfg.shading == "forward"
+            and cfg.sampler in ("auto", "window")
+            and self.scene_host.pages is not None
+        ):
+            self.sampler = "window"
+        else:
+            self.sampler = "gather"
         self.width, self.height = width, height
         self.tiles_x = _round_up(width, cfg.tile_w) // cfg.tile_w
         self.tiles_y = _round_up(height, cfg.tile_h) // cfg.tile_h
@@ -348,6 +442,7 @@ class Renderer:
                 output=self.output,
                 shading=cfg.shading,
                 binning=self.binning,
+                sampler=self.sampler,
             )
         )
 
@@ -356,16 +451,17 @@ class Renderer:
         recomputes the projection for the new aspect
         (src/Renderer.zig:631-661).
 
-        A zero extent (minimized window) DEFERS recreation like the
-        reference (src/Renderer.zig:631-636, replayed at :951-958): the
-        pending size is recorded and applied by the next render() whose
-        extent is usable; rendering keeps the old target until then.
+        A zero extent (minimized window) is IGNORED like the reference's
+        deferral (src/Renderer.zig:631-636): rendering keeps the old
+        target until a recreate with a usable extent arrives. (The
+        reference replays the deferred recreation from renderFrame
+        because its extent comes from the window system; here the
+        embedder is the only extent source, so there is nothing to
+        replay — the next nonzero recreate applies directly.)
         """
         if width == 0 or height == 0:
-            self._deferred_extent = (width, height)
-            log.debug("swapchain recreation deferred (zero extent %dx%d)", width, height)
+            log.debug("swapchain recreation skipped (zero extent %dx%d)", width, height)
             return
-        self._deferred_extent = None
         self._configure_target(width, height)
 
     # -- frame -------------------------------------------------------------
@@ -379,8 +475,15 @@ class Renderer:
 
     def render(self, camera: Camera):
         """Render one frame; returns dict of device arrays (async)."""
-        view_proj, cam_pos = self.frame_uniforms(camera)
-        return self._frame_fn(self.scene, view_proj, cam_pos)
+        return self.render_with_uniforms(*self.frame_uniforms(camera))
+
+    def render_with_uniforms(self, view_proj, camera_position):
+        """Render one frame from precomputed frame uniforms (the
+        FrameData.UniformData path, src/Renderer.zig:960-963): benchmarks
+        and flythroughs precompute their camera track so the timed loop
+        measures only render + readback. Returns dict of device arrays
+        (async): color, depth, bin_overflow."""
+        return self._frame_fn(self.scene, view_proj, camera_position)
 
     def render_to_host(self, camera: Camera) -> np.ndarray:
         """Convenience: blocking render + readback of the color buffer,
