@@ -15,9 +15,13 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def time_fn(fn, uniforms, scene, warmup=4, frames=24, group=4):
@@ -49,14 +53,22 @@ def main() -> int:
 
     from tpurast.camera import Camera
     from tpurast.config import RendererConfig
-    from tpurast.device.scene import load_demo_scene, load_instanced_dragons
+    from tpurast.device.scene import (
+        load_demo_scene,
+        load_instanced_dragons,
+        load_porsche_class_scene,
+    )
     from tpurast.kernels import geometry, present, raster, shade
     from tpurast.renderer import Renderer
 
+    from tools._scene_cache import load_scene_cached
+
     if args.scene == "dragons64":
-        scene_host = load_instanced_dragons(args.data_dir, 64)
+        scene_host = load_scene_cached("dragons64", load_instanced_dragons, args.data_dir, 64)
+    elif args.scene == "porsche_class":
+        scene_host = load_scene_cached("porsche_class", load_porsche_class_scene, args.data_dir)
     else:
-        scene_host = load_demo_scene(args.data_dir)
+        scene_host = load_scene_cached("demo", load_demo_scene, args.data_dir)
     cfg = RendererConfig(width=args.width, height=args.height)
     r = Renderer(scene_host, cfg)
 

@@ -33,6 +33,7 @@ def main() -> int:
     )
     ap.add_argument("--shading", default=None, choices=["forward", "deferred"])
     ap.add_argument("--binning", default=None, choices=["auto", "pairs", "scan"])
+    ap.add_argument("--sampler", default=None, choices=["auto", "window", "gather"])
     ap.add_argument(
         "--scene",
         default="demo",
@@ -81,6 +82,8 @@ def main() -> int:
         overrides["shading"] = args.shading
     if args.binning:
         overrides["binning"] = args.binning
+    if args.sampler:
+        overrides["sampler"] = args.sampler
     cfg = RendererConfig(width=args.width, height=args.height, **overrides)
     renderer = Renderer(scene, cfg)
 
@@ -230,3 +233,9 @@ def main() -> int:
     return 0
 
 
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""UV charts: connected components of mesh faces under shared vertices.
+
+glTF meshes duplicate vertices along UV seams (a vertex index carries ONE
+uv), so two faces sharing a vertex INDEX are UV-continuous: the vertex-
+sharing graph's connected components are exactly the mesh's UV charts
+(atlas islands). Within a chart the surface->texture mapping is
+continuous, which is the property the windowed sampler's tile planning
+needs: a framebuffer tile's pixels FROM ONE CHART at one mip level have
+a compact texel footprint (~tile-sized — mip selection keeps texel:pixel
+~1:1), even when the texture's atlas scatters charts far apart. Planning
+windows per (chart, mip) instead of per (texture, mip) is what makes
+fragmented-UV meshes (e.g. stanford_dragon bound to a 2048^2 texture)
+windowable instead of falling back to per-pixel gathers.
+
+Chart ids are assigned per scene at build time (device/scene.py) and
+ride the resolve G-buffer as a per-face constant, like the texture id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def face_charts(faces: np.ndarray, n_faces: int, n_vertices: int) -> np.ndarray:
+    """Per-face chart id (dense, 0..n_charts-1) via union-find over
+    shared vertex indices. `faces` is (Fp, 3) global vertex indices;
+    only the first `n_faces` rows are real (padding gets chart 0).
+    """
+    f = np.asarray(faces[:n_faces], dtype=np.int64)
+    parent = np.arange(n_vertices, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for v0, v1, v2 in f:
+        r0 = find(v0)
+        r1 = find(v1)
+        r2 = find(v2)
+        r = min(r0, r1, r2)
+        parent[r0] = parent[r1] = parent[r2] = r
+
+    roots = np.fromiter((find(v) for v in f[:, 0]), dtype=np.int64, count=n_faces)
+    uniq, dense = np.unique(roots, return_inverse=True)
+    out = np.zeros(faces.shape[0], dtype=np.int32)
+    out[:n_faces] = dense.astype(np.int32)
+    return out

@@ -240,6 +240,8 @@ def render_frame(
             max_anisotropy=max_anisotropy,
             tile_row_offset=tile_row_offset,
         )
+        if output == "gbuf":
+            return {"gbuf": gbuf, "depth": depth, "fid": vis[1].astype(jnp.int32)}
         if sampler == "window":
             framebuffer, window_miss_px = _shade_windowed(
                 gbuf,
@@ -417,34 +419,35 @@ class Renderer:
         self.projection = math3d.perspective_inverse_depth(
             cfg.vfov, width / height, cfg.znear
         )
-        self._frame_fn = jax.jit(
-            functools.partial(
-                render_frame,
-                width=width,
-                height=height,
-                tile_h=cfg.tile_h,
-                tile_w=cfg.tile_w,
-                tiles_x=self.tiles_x,
-                tiles_y=self.tiles_y,
-                bin_capacity=self.bin_capacity,
-                segment_headroom=self.segment_headroom,
-                clear_depth=cfg.clear_depth,
-                clear_color=cfg.clear_color,
-                light_direction=cfg.light_direction,
-                light_color=cfg.light_color,
-                ambient_amount=cfg.ambient_amount,
-                specular_power=cfg.specular_power,
-                max_anisotropy=cfg.max_anisotropy,
-                blend=cfg.blend,
-                texture_format=(
-                    "srgb8" if self.texture_dtype == "srgb8" else "float"
-                ),
-                output=self.output,
-                shading=cfg.shading,
-                binning=self.binning,
-                sampler=self.sampler,
-            )
+        self._frame_kwargs = dict(
+            width=width,
+            height=height,
+            tile_h=cfg.tile_h,
+            tile_w=cfg.tile_w,
+            tiles_x=self.tiles_x,
+            tiles_y=self.tiles_y,
+            bin_capacity=self.bin_capacity,
+            segment_headroom=self.segment_headroom,
+            clear_depth=cfg.clear_depth,
+            clear_color=cfg.clear_color,
+            light_direction=cfg.light_direction,
+            light_color=cfg.light_color,
+            ambient_amount=cfg.ambient_amount,
+            specular_power=cfg.specular_power,
+            max_anisotropy=cfg.max_anisotropy,
+            blend=cfg.blend,
+            texture_format=(
+                "srgb8" if self.texture_dtype == "srgb8" else "float"
+            ),
+            output=self.output,
+            shading=cfg.shading,
+            binning=self.binning,
+            sampler=self.sampler,
         )
+        self._frame_fn = jax.jit(
+            functools.partial(render_frame, **self._frame_kwargs)
+        )
+        self._gbuf_fn = None
 
     def recreate_swapchain(self, width: int, height: int) -> None:
         """Resize the render target; recompiles the frame function and
@@ -476,6 +479,17 @@ class Renderer:
     def render(self, camera: Camera):
         """Render one frame; returns dict of device arrays (async)."""
         return self.render_with_uniforms(*self.frame_uniforms(camera))
+
+    def debug_gbuf(self, camera: Camera, with_fid: bool = False):
+        """Forward-path G-buffer (A_OUT, Hp, Wp) for tooling
+        (tools/sampler_plan_stats.py); not part of the frame path.
+        with_fid=True also returns the visibility face-id image."""
+        if self._gbuf_fn is None:
+            kw = dict(self._frame_kwargs, output="gbuf", shading="forward")
+            self._gbuf_fn = jax.jit(functools.partial(render_frame, **kw))
+        view_proj, cam_pos = self.frame_uniforms(camera)
+        out = self._gbuf_fn(self.scene, view_proj, cam_pos)
+        return (out["gbuf"], out["fid"]) if with_fid else out["gbuf"]
 
     def render_with_uniforms(self, view_proj, camera_position):
         """Render one frame from precomputed frame uniforms (the
