@@ -205,8 +205,11 @@ def test_instanced_dragons_scene(data_dir):
 def test_forward_shading_matches_deferred(demo_scene):
     # The resolve-kernel forward path (kernels/resolve.py) must reproduce
     # the deferred fat-gather path exactly: same interpolation formulas,
-    # bit-exact MXU attribute selection, same lighting op order.
-    cfgs = dict(width=160, height=96, segment_headroom=192)
+    # bit-exact MXU attribute selection, same lighting op order. Pinned
+    # to the gather sampler on both sides — the windowed sampler is a
+    # different filtering engine with its own LSB-budget parity test
+    # (test_sampler.py).
+    cfgs = dict(width=160, height=96, segment_headroom=192, sampler="gather")
     cam = demo_camera()
     fwd = Renderer(demo_scene, RendererConfig(shading="forward", **cfgs))
     dfr = Renderer(demo_scene, RendererConfig(shading="deferred", **cfgs))

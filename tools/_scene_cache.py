@@ -18,11 +18,15 @@ log = logging.getLogger("tpurast.tools")
 
 CACHE_DIR = os.environ.get("TPURAST_SCENE_CACHE_DIR", "/root/repo/.scene_cache")
 
+# Bump when DeviceScene gains fields the pickle must carry (stale
+# pickles would silently fall back to dataclass defaults).
+CACHE_VERSION = 2
+
 
 def load_scene_cached(name: str, loader, *args, **kwargs):
     if os.environ.get("TPURAST_SCENE_CACHE", "1") != "1":
         return loader(*args, **kwargs)
-    path = os.path.join(CACHE_DIR, f"{name}.pkl")
+    path = os.path.join(CACHE_DIR, f"{name}.v{CACHE_VERSION}.pkl")
     if os.path.exists(path):
         with open(path, "rb") as fh:
             return pickle.load(fh)

@@ -49,16 +49,27 @@ def main() -> int:
         "porsche_class": load_porsche_class_scene,
         "dragons64": load_instanced_dragons,
     }[args.scene]
-    scene = load_scene_cached(args.scene, loader, data)
-    a = args.angle
-    cam = Camera.from_target(
-        np.array([1.2 * np.sin(a), 0.75, -1.2 * np.cos(a)], np.float32),
-        [0.0, 0.95, 0.0],
+    cache_dir = os.environ.get("TPURAST_SCENE_CACHE", "/root/repo/.scene_cache")
+    gkey = os.path.join(
+        cache_dir,
+        f"gbuf_{args.scene}_{args.width}x{args.height}_{args.angle}.npz",
     )
-    r = Renderer(scene, RendererConfig(width=args.width, height=args.height))
-    gbuf, fid = r.debug_gbuf(cam, with_fid=True)
-    gbuf = np.asarray(gbuf)
-    fid = np.asarray(fid)
+    scene = load_scene_cached(args.scene, loader, data)
+    if os.path.exists(gkey):
+        d = np.load(gkey)
+        gbuf, fid = d["gbuf"], d["fid"]
+        print(f"loaded cached gbuf {gkey}")
+    else:
+        a = args.angle
+        cam = Camera.from_target(
+            np.array([1.2 * np.sin(a), 0.75, -1.2 * np.cos(a)], np.float32),
+            [0.0, 0.95, 0.0],
+        )
+        r = Renderer(scene, RendererConfig(width=args.width, height=args.height))
+        gbuf, fid = r.debug_gbuf(cam, with_fid=True)
+        gbuf = np.asarray(gbuf)
+        fid = np.asarray(fid)
+        np.savez_compressed(gkey, gbuf=gbuf, fid=fid)
 
     charts = face_charts(scene.faces, scene.n_faces, scene.positions.shape[0])
     n_charts = int(charts.max()) + 1

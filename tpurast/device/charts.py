@@ -22,30 +22,26 @@ import numpy as np
 
 
 def face_charts(faces: np.ndarray, n_faces: int, n_vertices: int) -> np.ndarray:
-    """Per-face chart id (dense, 0..n_charts-1) via union-find over
-    shared vertex indices. `faces` is (Fp, 3) global vertex indices;
+    """Per-face chart id (dense, 0..n_charts-1): connected components of
+    the vertex-sharing graph. `faces` is (Fp, 3) global vertex indices;
     only the first `n_faces` rows are real (padding gets chart 0).
     """
+    if n_faces == 0:
+        return np.zeros(faces.shape[0], dtype=np.int32)
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
     f = np.asarray(faces[:n_faces], dtype=np.int64)
-    parent = np.arange(n_vertices, dtype=np.int64)
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for v0, v1, v2 in f:
-        r0 = find(v0)
-        r1 = find(v1)
-        r2 = find(v2)
-        r = min(r0, r1, r2)
-        parent[r0] = parent[r1] = parent[r2] = r
-
-    roots = np.fromiter((find(v) for v in f[:, 0]), dtype=np.int64, count=n_faces)
-    uniq, dense = np.unique(roots, return_inverse=True)
+    # Two edges per face (v0-v1, v1-v2) connect all three corners.
+    rows = np.concatenate([f[:, 0], f[:, 1]])
+    cols = np.concatenate([f[:, 1], f[:, 2]])
+    g = coo_matrix(
+        (np.ones(rows.shape[0], np.int8), (rows, cols)),
+        shape=(n_vertices, n_vertices),
+    )
+    _, vert_label = connected_components(g, directed=False)
+    roots = vert_label[f[:, 0]]
+    _, dense = np.unique(roots, return_inverse=True)
     out = np.zeros(faces.shape[0], dtype=np.int32)
     out[:n_faces] = dense.astype(np.int32)
     return out

@@ -61,6 +61,20 @@ class DeviceScene:
     # 2D mip rects for the windowed sampling kernel (device/pages.py);
     # None disables the windowed path for this scene.
     pages: "object | None" = None
+    # Build-time face-corner tables (world space). The model->world half
+    # of the vertex stage plus ALL vertex->face gathers run once here:
+    # per frame the geometry stage is pure arithmetic over (Fp, 3, ...)
+    # corner rows (kernels/geometry.transform_corners) — XLA:TPU dynamic
+    # row gathers cost ~7-76 ns each, so gathering 5 rows per face per
+    # frame dominated geometry on 100k+-face scenes.
+    corner_world: np.ndarray | None = None  # (Fp, 3, 3) f32
+    corner_normal: np.ndarray | None = None  # (Fp, 3, 3) f32
+    corner_uv: np.ndarray | None = None  # (Fp, 3, 2) f32
+    face_tex: np.ndarray | None = None  # (Fp,) i32 = prim_tex[face_prim]
+    # UV chart id per face (device/charts.py) for the windowed sampler's
+    # tile planning; padding faces get chart 0.
+    face_chart: np.ndarray | None = None  # (Fp,) i32
+    n_charts: int = 1
 
     @property
     def triangle_count(self) -> int:
@@ -87,6 +101,19 @@ class DeviceScene:
             "normal_mats": jnp.asarray(self.normal_mats),
             "prim_tex": jnp.asarray(self.prim_tex),
             "atlas": self.atlas.device(texture_dtype),
+            "corner_world": jnp.asarray(self.corner_tables()[0]),
+            "corner_normal": jnp.asarray(self.corner_tables()[1]),
+            "corner_uv": jnp.asarray(self.corner_tables()[2]),
+            "face_tex": jnp.asarray(
+                self.face_tex
+                if self.face_tex is not None
+                else self.prim_tex[self.face_prim]
+            ),
+            "face_chart": jnp.asarray(
+                self.face_chart
+                if self.face_chart is not None
+                else np.zeros(self.faces.shape[0], np.int32)
+            ),
         }
         if self.pages is not None:
             out["atlas"].update(self.pages.device(self.page_dtype()))
@@ -97,6 +124,26 @@ class DeviceScene:
         through the shading chain (and the MXU selection runs bf16
         regardless — f32 pages would round identically in the matmul)."""
         return "bfloat16"
+
+    def corner_tables(self):
+        """World-space face-corner tables, computed once (host).
+
+        Runs basic.vert's model->world half (world = model * pos, normal
+        via the 3x3 normal matrix, src/Renderer.zig:797-807 transforms
+        are static per scene) and bakes the vertex->face indirection, so
+        the per-frame vertex stage has zero dynamic gathers."""
+        if self.corner_world is None:
+            m = self.models[self.vert_prim]  # (Vp, 4, 4)
+            ph = np.concatenate(
+                [self.positions, np.ones_like(self.positions[:, :1])], axis=1
+            )
+            world = np.einsum("vij,vj->vi", m, ph).astype(np.float32)[:, :3]
+            nm = self.normal_mats[self.vert_prim]
+            wnormal = np.einsum("vij,vj->vi", nm, self.normals).astype(np.float32)
+            self.corner_world = world[self.faces]
+            self.corner_normal = wnormal[self.faces]
+            self.corner_uv = self.uvs[self.faces]
+        return self.corner_world, self.corner_normal, self.corner_uv
 
 
 def build_scene(
@@ -177,22 +224,33 @@ def build_scene(
     fpad = max(face_pad, _round_up(n_faces, face_pad))
     vpad = max(vert_pad, _round_up(n_vertices, vert_pad))
 
-    return DeviceScene(
+    from tpurast.device.charts import face_charts
+
+    faces_padded = _pad_to(fc, fpad)
+    chart = face_charts(faces_padded, n_faces, max(n_vertices, 1))
+    prim_tex_arr = np.asarray(prim_tex if prim_tex else [0], dtype=np.int32)
+    face_prim_padded = _pad_to(fp, fpad)
+    scene = DeviceScene(
         positions=_pad_to(pos, vpad),
         normals=_pad_to(nrm, vpad),
         uvs=_pad_to(uv, vpad),
         vert_prim=_pad_to(vp, vpad),
-        faces=_pad_to(fc, fpad),
-        face_prim=_pad_to(fp, fpad),
+        faces=faces_padded,
+        face_prim=face_prim_padded,
         n_faces=n_faces,
         n_vertices=n_vertices,
         models=np.stack(prim_models) if prim_models else np.eye(4, dtype=np.float32)[None],
         normal_mats=np.stack(prim_normal_mats) if prim_normal_mats else np.eye(3, dtype=np.float32)[None],
-        prim_tex=np.asarray(prim_tex if prim_tex else [0], dtype=np.int32),
+        prim_tex=prim_tex_arr,
         atlas=tex_mod.build_atlas(pyramids),
         texture_uris=texture_uris,
         pages=pages_mod.build_pages(pyramids),
+        face_tex=prim_tex_arr[face_prim_padded],
+        face_chart=chart,
+        n_charts=int(chart.max()) + 1 if n_faces else 1,
     )
+    scene.corner_tables()
+    return scene
 
 
 def replicate_model(model: GltfModel, transforms: list[np.ndarray]) -> GltfModel:

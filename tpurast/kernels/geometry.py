@@ -63,17 +63,36 @@ def transform_vertices(positions, normals, vert_prim, models, normal_mats, view_
     return clip, world_h[:, :3], world_normal
 
 
+def transform_corners(corner_world, view_proj):
+    """Vertex stage over BUILD-TIME face-corner tables: world -> clip.
+
+    corner_world: (F, 3, 3) world-space corner positions (the
+    model->world half of basic.vert runs once at scene build,
+    device/scene.py — model matrices are static per scene). Per frame
+    only the view-projection runs, and there are NO per-frame vertex
+    gathers: XLA:TPU dynamic row gathers cost ~7-76 ns each, so the
+    former clip[faces] + vattr[faces] fetches (5 gathered rows per
+    face) dominated the geometry stage on 100k+-face scenes.
+    Returns clip (F, 3, 4).
+    """
+    f = corner_world.shape[0]
+    w = corner_world.reshape(f * 3, 3)
+    world_h = jnp.concatenate([w, jnp.ones_like(w[:, :1])], axis=1)
+    return (world_h @ view_proj.T).reshape(f, 3, 4)
+
+
 def triangle_setup(clip, faces, n_faces, width, height):
     """Per-triangle rasterization setup.
 
-    clip: (V, 4); faces: (F, 3) int32; n_faces: static or traced count of
-    valid faces. Returns dict with:
+    clip: (V, 4) with faces (F, 3) int32 vertex indices, or pre-gathered
+    corner clip (F, 3, 4) with faces=None (the no-gather corner path).
+    n_faces: static or traced count of valid faces. Returns dict with:
       setup: (F, 16) f32 — edge matrix rows + z_clip + w_clip
       valid: (F,) bool — in-range, front-facing, non-degenerate
       aabb:  (F, 4) f32 — (minx, miny, maxx, maxy) in pixels, full screen
              for triangles crossing w<=0
     """
-    c = clip[faces]  # (F, 3, 4)
+    c = clip if faces is None else clip[faces]  # (F, 3, 4)
     w = c[..., 3]
     vx = (c[..., 0] + w) * (width * 0.5)
     vy = (w - c[..., 1]) * (height * 0.5)
@@ -101,7 +120,7 @@ def triangle_setup(clip, faces, n_faces, width, height):
     e2 = jnp.cross(v[:, 0], v[:, 1])
     det = jnp.sum(e0 * v[:, 0], axis=-1)
 
-    face_ids = jnp.arange(faces.shape[0], dtype=jnp.int32)
+    face_ids = jnp.arange(c.shape[0], dtype=jnp.int32)
     in_range = face_ids < n_faces
     finite = jnp.all(jnp.isfinite(c.reshape(c.shape[0], -1)), axis=-1)
     front = det < 0.0  # CCW front under y-down framebuffer coords
@@ -140,7 +159,7 @@ def triangle_setup(clip, faces, n_faces, width, height):
             ay[:, None],  # field 17: anchor y
             miny[:, None],  # field 18: screen-space y extent (row-group
             maxy[:, None],  # field 19: restriction in the raster kernel)
-            jnp.zeros((faces.shape[0], SETUP_WIDTH - 20), dtype=jnp.float32),
+            jnp.zeros((c.shape[0], SETUP_WIDTH - 20), dtype=jnp.float32),
         ],
         axis=-1,
     ).astype(jnp.float32)
@@ -219,9 +238,20 @@ def bin_pairs(
     The XLA sort has a few-ms floor on TPU regardless of size, so the
     renderer selects this path only when T*F makes the scan worse
     (kernels are equivalent; see renderer._configure_target).
+
+    Within a tile, pairs sort by the face's QUANTIZED screen-y extent
+    (8-row buckets) before draw order. Order within a bin is free to
+    choose: the raster merge is commutative (max depth, ties to max
+    face id), and the resolve selection matches by face id — but the
+    raster kernel restricts each 16-triangle sub-block to the UNION of
+    its faces' row groups, so y-coherent sub-blocks evaluate ~the
+    per-face minimum instead of the whole tile. The bucket rides the
+    sort key's low bits (key = tile * YB + ybucket), so the 2-operand
+    sort cost is unchanged.
     """
     f = aabb.shape[0]
     t = tiles_x * tiles_y
+    yb = 1024  # y-bucket slots per tile key (4320px / 8 rows = 540 max)
     tx0, ty0, tx1, ty1, valid = _tile_ranges(
         aabb, valid, tiles_x, tiles_y, tile_w, tile_h, ty_base
     )
@@ -230,6 +260,9 @@ def bin_pairs(
     span = jnp.where(valid, span_x * span_y, 0)
     face_ids = jnp.arange(f, dtype=jnp.int32)
     huge = valid & (span > tiles_per_face)
+    ybucket = jnp.clip(
+        jnp.floor(aabb[:, 1] * (1.0 / 8.0)), 0, yb - 1
+    ).astype(jnp.int32)
 
     # Rounds: (TPF, F) j-th tile of each small face.
     j = jnp.arange(tiles_per_face, dtype=jnp.int32)[:, None]  # (TPF, 1)
@@ -238,7 +271,7 @@ def bin_pairs(
     jy = j // sx
     tile_j = (ty0[None, :] + jy) * tiles_x + (tx0[None, :] + jx)  # (TPF, F)
     ok = (valid & ~huge)[None, :] & (j < span[None, :])
-    keys_small = jnp.where(ok, tile_j, t).reshape(-1)
+    keys_small = jnp.where(ok, tile_j * yb + ybucket[None, :], t * yb).reshape(-1)
     vals_small = jnp.broadcast_to(face_ids[None, :], (tiles_per_face, f)).reshape(-1)
 
     # Huge faces: first huge_budget in draw order via one top_k.
@@ -252,15 +285,18 @@ def bin_pairs(
     hy = jh // hsx
     h_tile = (ty0[hidx][:, None] + hy) * tiles_x + tx0[hidx][:, None] + hx
     h_ok = h_ok_face[:, None] & (jh < span[hidx][:, None])
-    keys_huge = jnp.where(h_ok, h_tile, t).reshape(-1)
+    keys_huge = jnp.where(
+        h_ok, h_tile * yb + ybucket[hidx][:, None], t * yb
+    ).reshape(-1)
     vals_huge = jnp.broadcast_to(hidx[:, None], (hb, t)).reshape(-1)
 
     keys = jnp.concatenate([keys_small, keys_huge])
     vals = jnp.concatenate([vals_small, vals_huge])
-    pair_tiles, pair_faces = jax.lax.sort((keys, vals), num_keys=2)
+    pair_keys, pair_faces = jax.lax.sort((keys, vals), num_keys=2)
+    pair_tiles = pair_keys // yb
 
     # Per-tile extents via vectorized binary search over the sorted keys.
-    offsets = jnp.searchsorted(pair_tiles, jnp.arange(t + 1, dtype=jnp.int32))
+    offsets = jnp.searchsorted(pair_keys, jnp.arange(t + 1, dtype=jnp.int32) * yb)
     offsets = offsets.astype(jnp.int32)
     counts = jnp.diff(offsets)
     n_huge = jnp.sum(huge, dtype=jnp.int32)

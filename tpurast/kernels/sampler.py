@@ -9,19 +9,30 @@ behind its texture caches; the TPU equivalent built here makes the
 cache EXPLICIT:
 
   1. PLAN (XLA, plan_tiles): per framebuffer tile, reduce the G-buffer
-     (kernels/resolve.py planes) to up to N_SLOTS sampling jobs — each
-     a (texture, mip level) pair with the texel bounding box of every
-     pixel using it (bilinear + anisotropy probe extents included).
-     Mip LOD selection guarantees ~1 texel per pixel, so a tile's
-     footprint at its own mip is tile-sized: the bbox almost always
-     fits a small static window. Each slot window is either the bbox
-     (large mips, local footprint) or the WHOLE mip rect (small mips —
-     covers fragmented UV islands and repeat-wrap seams outright).
-     Tiles pick the cheap wide window class or the tall one; tiles
-     fitting neither fall back to the gather path (counted).
-  2. SAMPLE (Pallas, sample_tiles): per tile, DMA the slot windows
-     from the texture page (device/pages.py) into VMEM, then select +
-     bilinear-filter texels with tent-weight one-hot MXU contractions:
+     (kernels/resolve.py planes) to up to K sampling slots, each one
+     fixed-shape (WH, WW) texel window of some (texture, mip) rect,
+     placed by GREEDY BANDED COVERING: each round seeds at the
+     top-left-most uncovered anchor of the lowest uncovered (tex, mip)
+     key, opens a window band there, and absorbs every pixel whose
+     whole anchor range (bilinear + anisotropy-probe extremes) fits
+     the window. Mips whose entire rect fits one window are covered
+     whole — one window serves any number of UV islands and wrap
+     seams. Fragmented atlases cost extra windows only when a tile's
+     footprint is genuinely scattered; rotated mappings split across
+     y-bands whose x origin tracks the strip. Mip LOD selection keeps
+     texels:pixel in [1, 2) at the own level and <= 1 at the parent,
+     so footprints are ~tile-sized per level.
+     The plan emits per-pixel ASSIGNMENT PLANES (own/parent slot
+     index): assignment decisions are made ONCE in XLA and shipped to
+     the kernel, so plan and kernel can never disagree about which
+     window serves a pixel (the arithmetic is not re-derived under a
+     different compiler). Tiles needing more than K windows fall back
+     to the gather path (counted as window_miss_px).
+  2. SAMPLE (Pallas, sample_tiles): per tile, DMA the planned windows
+     from the texture page (device/pages.py) into VMEM — a DYNAMIC
+     trip-count loop runs only the windows the tile actually uses —
+     then select + bilinear-filter texels with tent-weight one-hot MXU
+     contractions:
 
        weights C[r, i, c] = max(0, 1 - |i - x(r, c)|)   (rows, WW, tw)
 
@@ -41,18 +52,15 @@ axis INSIDE the kernel with a per-tile dynamic trip count = the tile's
 worst ceil(anisotropy ratio): isotropic tiles pay one probe, grazing
 tiles pay up to maxAnisotropy — data-dependent work with static
 shapes, where the gather path pays max_anisotropy probes per pixel.
+Probe anchors stay inside the assigned window because the plan's
+coverage test uses the probe-extreme anchor range (with a 1-texel
+safety margin against cross-compiler f32 rounding).
 
 Numerics: pages store linear texels bf16 (2^-9 relative, under half a
 u8 LSB through the shading chain; BASELINE budget is 1 LSB/channel);
 tent weights ride the matmul in bf16 too. fx/fy/lod/tfrac come from
 the same G-buffer planes as the gather path, and filtering uses the
 same lerp op order as shade._trilerp.
-
-Known limitation (tracked): tiles over dense small-triangle meshes
-with fragmented UV atlases (e.g. the dragon mesh bound to a 2048^2
-texture) have tile-wide UV bboxes at large mips — those need
-per-raster-segment windows (triangle chunks are UV-local after a UV
-sort), the planned phase-2 extension; they currently fall back.
 """
 
 from __future__ import annotations
@@ -68,25 +76,32 @@ from tpurast import kernels as _k
 from tpurast.kernels import shade as _shade
 from tpurast.kernels.resolve import A_OUT
 
-# Window DMA origins must land on the page memref's tile grid (Mosaic
-# slice constraint): origins round DOWN to ALIGN_* and the plan's fit
-# test pays the exact per-tile remainder. The page packer
-# (device/pages.py) aligns rect origins to this grid so whole-rect
-# windows have zero slack.
-ALIGN_Y = 16
+# Window DMA origins must land on Mosaic's slice grid for the page
+# memref (measured on v5e: sublane multiples of 8, lane multiples of
+# 128): origins round DOWN to ALIGN_* and the plan pays the per-window
+# remainder out of the covered anchor range.
+ALIGN_Y = 8
 ALIGN_X = 128
 
-# Per-class, per-slot (rows, cols) of the VMEM texel windows.
-# Class A (wide) fits near-axis-aligned mappings of a 32x128-px tile;
-# class B (tall) fits y-major mappings and whole rects of <=126^2 mips.
-N_SLOTS = 4
-SHAPES_A = ((64, 384), (32, 256), (32, 256), (32, 256))
-SHAPES_B = ((128, 256), (64, 256), (32, 256), (32, 256))
+# Uniform window shape (rows, cols) and slot budget. COV_* is the
+# anchor range one window covers after worst-case alignment slack, the
+# +1 bilinear neighbor, and a 1-texel safety margin (plan coverage is
+# decided in XLA, per-probe anchors are recomputed under Mosaic — the
+# margin absorbs any cross-compiler f32 rounding at floor boundaries).
+WH = 96
+WW = 384
+K = 16  # window slots per tile
+COV_Y = WH - ALIGN_Y - 1  # 87
+COV_X = WW - ALIGN_X - 1  # 255
 
-CLS_A = 0
-CLS_B = 1
+CLS_WINDOWED = 0
 CLS_EMPTY = 2
 CLS_RESIDUAL = 3
+
+# Whole-rect thresholds: the rect (incl. ghost border) must fit one
+# window with its anchors inside the covered range.
+SMALL_W = COV_X - 2
+SMALL_H = COV_Y - 2
 
 
 def plan_tiles(
@@ -100,17 +115,12 @@ def plan_tiles(
     tile_w: int,
     max_anisotropy: int = 1,
 ):
-    """Per-tile slot plan (pure XLA reshape/reduce — no gathers).
+    """Per-tile window plan (pure XLA reshape/reduce — no big gathers).
 
-    Slot assignment: single-texture tiles get slots = mip levels
-    lmin..lmin+3 (covers lod spread <= 2 plus the parent level);
-    two-texture tiles get two slots per texture (own+parent), which
-    requires each texture's pixels to sit on one level. Anything else
-    is residual.
-
-    Returns per-tile arrays: cls, nprobe, slot tables (T*N_SLOTS):
-    level, tex, window page origin + texel origin per class, and the
-    residual accounting.
+    Returns per-tile arrays (cls, nprobe, n_used), flat (T*K,) slot
+    tables (window page origin oy/ox + window texel origin tyo/txo),
+    per-pixel assignment planes assign (2, H, W) f32 (own slot index,
+    parent slot index; -1 = none), and the residual accounting.
     """
     t_total = tiles_x * tiles_y
     big = jnp.float32(3.4e38)
@@ -123,6 +133,9 @@ def plan_tiles(
 
     def tmax(v, m):
         return jnp.max(jnp.where(m, v, -big), axis=(1, 3)).reshape(-1)
+
+    def bt(x):  # (T,) -> broadcastable over tile pixels
+        return x.reshape(tiles_y, 1, tiles_x, 1)
 
     matched = tiled(gbuf[16] > 0.0)
     texid = tiled(gbuf[18])
@@ -138,14 +151,6 @@ def plan_tiles(
     maj_dv = tiled(gbuf[15])
 
     covered = jnp.any(matched, axis=(1, 3)).reshape(-1)  # (T,)
-    tex_lo = tmin(texid, matched)
-    tex_hi = tmax(texid, matched)
-    single_tex = tex_lo == tex_hi
-    # Exactly-two-texture tiles: every pixel is lo or hi.
-    mid_tex = matched & (texid != tex_lo.reshape(tiles_y, 1, tiles_x, 1)) & (
-        texid != tex_hi.reshape(tiles_y, 1, tiles_x, 1)
-    )
-    two_tex = (~single_tex) & ~jnp.any(mid_tex, axis=(1, 3)).reshape(-1)
 
     # Per-tile probe count: worst ceil(anisotropy ratio) in the tile
     # (ratio = 1/(1-span), shade.aniso_footprint). Kernel and plan use
@@ -167,127 +172,93 @@ def plan_tiles(
     dv_ext = jnp.abs(maj_dv) * fo_ext
 
     # Integer texel coords (wrapped) of the bilinear anchor, per level
-    # role. x0w in [0, w); the +1 bilinear neighbor rides the rect's
-    # ghost border, so windows never need negative coords.
+    # role, at the probe extremes. The +1 bilinear neighbor rides the
+    # window's extra col/row (see COV_*).
     def anchor(uu, ww, dd):
         lo = jnp.mod(jnp.floor((uu - dd) * ww - 0.5), jnp.maximum(ww, 1.0))
         hi = jnp.mod(jnp.floor((uu + dd) * ww - 0.5), jnp.maximum(ww, 1.0))
         return jnp.minimum(lo, hi), jnp.maximum(lo, hi)
 
-    x0_lo, x0_hi = anchor(u, tw0, du_ext)
-    y0_lo, y0_hi = anchor(v, th0, dv_ext)
-    x1_lo, x1_hi = anchor(u, tw1, du_ext)
-    y1_lo, y1_hi = anchor(v, th1, dv_ext)
+    xo_lo, xo_hi = anchor(u, tw0, du_ext)
+    yo_lo, yo_hi = anchor(v, th0, dv_ext)
+    xp_lo, xp_hi = anchor(u, tw1, du_ext)
+    yp_lo, yp_hi = anchor(v, th1, dv_ext)
 
     # Parent level per pixel: l1 = l0 + 1 except at the chain clamp
     # (resolve computes l1 = min(l0+1, n_mips-1)), where BOTH parent
-    # dims equal the own dims (non-square chains can clamp one axis to
-    # 1 while the other still halves).
+    # dims equal the own dims.
     l1 = jnp.where((tw1 == tw0) & (th1 == th0), l0, l0 + 1.0)
 
-    # Per-texture level ranges.
-    tex_lo_b = tex_lo.reshape(tiles_y, 1, tiles_x, 1)
-    tex_hi_b = tex_hi.reshape(tiles_y, 1, tiles_x, 1)
-    ma = matched & (texid == tex_lo_b)
-    mb = matched & (texid == tex_hi_b)
-    la0, la1 = tmin(l0, ma), tmax(l0, ma)
-    lb0, lb1 = tmin(l0, mb), tmax(l0, mb)
+    # Job keys (exact small ints in f32) and whole-rect eligibility.
+    key_o = texid * 16.0 + l0
+    key_p = texid * 16.0 + l1
+    small_o = (tw0 <= SMALL_W) & (th0 <= SMALL_H)
+    small_p = (tw1 <= SMALL_W) & (th1 <= SMALL_H)
 
-    single_ok = single_tex & (la1 - la0 <= 2.0)
-    dual_ok = two_tex & (la1 == la0) & (lb1 == lb0)
-    shape_ok = covered & (single_ok | dual_ok)
+    # ---- greedy banded covering: K rounds ---------------------------------
+    todo_o = matched
+    todo_p = matched
+    assign_o = jnp.full((tiles_y, tile_h, tiles_x, tile_w), -1.0)
+    assign_p = jnp.full((tiles_y, tile_h, tiles_x, tile_w), -1.0)
+    slot_used, slot_tex, slot_lvl = [], [], []
+    slot_rect, slot_ty, slot_tx = [], [], []
+    for s in range(K):
+        cand = jnp.minimum(tmin(key_o, todo_o), tmin(key_p, todo_p))  # (T,)
+        got = cand < big * 0.5
+        kb = bt(jnp.where(got, cand, -1.0))
+        m_o = todo_o & (key_o == kb)
+        m_p = todo_p & (key_p == kb)
+        is_small = (
+            jnp.any(m_o & small_o, axis=(1, 3)) | jnp.any(m_p & small_p, axis=(1, 3))
+        ).reshape(-1)
+        # Band: top-left-most uncovered anchor opens the window.
+        ymin = jnp.minimum(tmin(yo_lo, m_o), tmin(yp_lo, m_p))
+        band_o = m_o & (yo_hi < bt(ymin) + COV_Y)
+        band_p = m_p & (yp_hi < bt(ymin) + COV_Y)
+        xmin = jnp.minimum(tmin(xo_lo, band_o), tmin(xp_lo, band_p))
+        win_o = band_o & (xo_hi < bt(xmin) + COV_X)
+        win_p = band_p & (xp_hi < bt(xmin) + COV_X)
+        smallb = bt(jnp.where(is_small, 1.0, 0.0)) > 0.5
+        cov_o = jnp.where(smallb, m_o, win_o)
+        cov_p = jnp.where(smallb, m_p, win_p)
+        sf = jnp.float32(s)
+        assign_o = jnp.where(cov_o, sf, assign_o)
+        assign_p = jnp.where(cov_p, sf, assign_p)
+        todo_o = todo_o & ~cov_o
+        todo_p = todo_p & ~cov_p
+        slot_used.append(got)
+        slot_tex.append(jnp.floor(jnp.clip(cand, 0.0, None) / 16.0))
+        slot_lvl.append(jnp.clip(cand, 0.0, None) % 16.0)
+        slot_rect.append(is_small)
+        slot_ty.append(jnp.where(got, ymin, 0.0))
+        slot_tx.append(jnp.where(got, xmin, 0.0))
+    leftover = jnp.any(todo_o | todo_p, axis=(1, 3)).reshape(-1)
+    fits = covered & ~leftover
 
-    # Slot tables: (T, N_SLOTS) level + texture id.
-    def bcast(x):
-        return x[:, None]
-
-    slot_ids = jnp.arange(N_SLOTS, dtype=jnp.float32)[None, :]
-    lvl_single = bcast(la0) + slot_ids
-    tex_single = jnp.broadcast_to(bcast(tex_lo), (t_total, N_SLOTS))
-    lvl_dual = jnp.concatenate(
-        [bcast(la0), bcast(la0) + 1, bcast(lb0), bcast(lb0) + 1], axis=1
-    )
-    tex_dual = jnp.concatenate(
-        [bcast(tex_lo), bcast(tex_lo), bcast(tex_hi), bcast(tex_hi)], axis=1
-    )
-    use_dual = bcast(dual_ok)
-    slot_lvl = jnp.where(use_dual, lvl_dual, lvl_single)  # (T, S) f32
-    slot_tex = jnp.where(use_dual, tex_dual, tex_single)
-
-    tex_idx = jnp.clip(slot_tex, 0, page_origins.shape[0] - 1).astype(jnp.int32)
-    n_page_mips = page_origins.shape[1]
-    lvl_idx = jnp.clip(slot_lvl, 0, n_page_mips - 1).astype(jnp.int32)
-    rect = page_origins[tex_idx, lvl_idx]  # (T, S, 2) = (oy, ox)
-    rect_wh = page_sizes[tex_idx, lvl_idx]  # (T, S, 2) = (w, h)
-
-    # Per-slot pixel bbox (own-level pixels at the slot's level union
-    # parent-role pixels), in that level's texel coords.
-    slot_xmin = jnp.zeros((t_total, N_SLOTS), jnp.float32)
-    slot_xmax = jnp.zeros((t_total, N_SLOTS), jnp.float32)
-    slot_ymin = jnp.zeros((t_total, N_SLOTS), jnp.float32)
-    slot_ymax = jnp.zeros((t_total, N_SLOTS), jnp.float32)
-    for j in range(N_SLOTS):
-        lv = slot_lvl[:, j].reshape(tiles_y, 1, tiles_x, 1)
-        tx = slot_tex[:, j].reshape(tiles_y, 1, tiles_x, 1)
-        own = matched & (l0 == lv) & (texid == tx)
-        par = matched & (l1 == lv) & (texid == tx)
-        xmin = jnp.minimum(tmin(x0_lo, own), tmin(x1_lo, par))
-        xmax = jnp.maximum(tmax(x0_hi, own), tmax(x1_hi, par))
-        ymin = jnp.minimum(tmin(y0_lo, own), tmin(y1_lo, par))
-        ymax = jnp.maximum(tmax(y0_hi, own), tmax(y1_hi, par))
-        slot_xmin = slot_xmin.at[:, j].set(xmin)
-        slot_xmax = slot_xmax.at[:, j].set(xmax)
-        slot_ymin = slot_ymin.at[:, j].set(ymin)
-        slot_ymax = slot_ymax.at[:, j].set(ymax)
-
-    used = (slot_xmin <= slot_xmax) & (slot_ymin <= slot_ymax)
-    tx0 = jnp.where(used, slot_xmin, 0.0).astype(jnp.int32)
-    ty0 = jnp.where(used, slot_ymin, 0.0).astype(jnp.int32)
-    oy_raw = rect[..., 0] + 1 + ty0
-    ox_raw = rect[..., 1] + 1 + tx0
+    used = jnp.stack(slot_used, axis=1)  # (T, K)
+    s_tex = jnp.clip(
+        jnp.stack(slot_tex, axis=1), 0.0, page_origins.shape[0] - 1
+    ).astype(jnp.int32)
+    s_lvl = jnp.clip(
+        jnp.stack(slot_lvl, axis=1), 0.0, page_origins.shape[1] - 1
+    ).astype(jnp.int32)
+    s_rect = jnp.stack(slot_rect, axis=1)  # (T, K) bool
+    s_ty = jnp.stack(slot_ty, axis=1)
+    s_tx = jnp.stack(slot_tx, axis=1)
+    rect = page_origins[s_tex, s_lvl].astype(jnp.float32)  # (T, K, 2) oy, ox
+    oy_raw = rect[..., 0] + 1.0 + s_ty
+    ox_raw = rect[..., 1] + 1.0 + s_tx
     dy = oy_raw % ALIGN_Y
     dx = ox_raw % ALIGN_X
-    x_need = slot_xmax - slot_xmin + 2.0 + dx.astype(jnp.float32)
-    y_need = slot_ymax - slot_ymin + 2.0 + dy.astype(jnp.float32)
-    # Whole-rect alternative: window starts at the rect origin (texel
-    # -1,-1; aligned by the packer, zero slack) and must contain the
-    # full bordered rect. Handles fragmented-UV and wrap-seam tiles
-    # whenever the mip is small enough.
-    rect_x_need = (rect_wh[..., 0] + 2).astype(jnp.float32)
-    rect_y_need = (rect_wh[..., 1] + 2).astype(jnp.float32)
-
-    def class_tables(shapes):
-        fit_all = covered & shape_ok
-        w_oy = jnp.zeros((t_total, N_SLOTS), jnp.int32)
-        w_ox = jnp.zeros((t_total, N_SLOTS), jnp.int32)
-        t_y0 = jnp.zeros((t_total, N_SLOTS), jnp.int32)
-        t_x0 = jnp.zeros((t_total, N_SLOTS), jnp.int32)
-        for j, (wh, ww) in enumerate(shapes):
-            bbox_fit = (x_need[:, j] <= ww) & (y_need[:, j] <= wh)
-            rect_fit = (rect_x_need[:, j] <= ww) & (rect_y_need[:, j] <= wh)
-            fit = (~used[:, j]) | bbox_fit | rect_fit
-            fit_all = fit_all & fit
-            pick_bbox = bbox_fit
-            w_oy = w_oy.at[:, j].set(
-                jnp.where(pick_bbox, oy_raw[:, j] - dy[:, j], rect[:, j, 0])
-            )
-            w_ox = w_ox.at[:, j].set(
-                jnp.where(pick_bbox, ox_raw[:, j] - dx[:, j], rect[:, j, 1])
-            )
-            t_y0 = t_y0.at[:, j].set(
-                jnp.where(pick_bbox, ty0[:, j] - dy[:, j], -1)
-            )
-            t_x0 = t_x0.at[:, j].set(
-                jnp.where(pick_bbox, tx0[:, j] - dx[:, j], -1)
-            )
-        return fit_all, w_oy, w_ox, t_y0, t_x0
-
-    fits_a, oy_a, ox_a, ty_a, tx_a = class_tables(SHAPES_A)
-    fits_b, oy_b, ox_b, ty_b, tx_b = class_tables(SHAPES_B)
+    slot_oy = jnp.where(s_rect, rect[..., 0], oy_raw - dy)
+    slot_ox = jnp.where(s_rect, rect[..., 1], ox_raw - dx)
+    slot_tyo = jnp.where(s_rect, -1.0, s_ty - dy)
+    slot_txo = jnp.where(s_rect, -1.0, s_tx - dx)
+    n_used = jnp.sum(used, axis=1).astype(jnp.int32)
 
     cls = jnp.where(
         covered,
-        jnp.where(fits_a, CLS_A, jnp.where(fits_b, CLS_B, CLS_RESIDUAL)),
+        jnp.where(fits, CLS_WINDOWED, CLS_RESIDUAL),
         CLS_EMPTY,
     ).astype(jnp.int32)
 
@@ -295,26 +266,35 @@ def plan_tiles(
     n_matched = jnp.sum(matched, axis=(1, 3)).reshape(-1)
     residual_px = jnp.sum(jnp.where(residual_tile, n_matched, 0))
 
+    h = tiles_y * tile_h
+    w = tiles_x * tile_w
+    assign = jnp.stack(
+        [
+            assign_o.reshape(h, w),
+            assign_p.reshape(h, w),
+        ],
+        axis=0,
+    )
+
+    def flat_i32(x):
+        return x.astype(jnp.int32).reshape(-1)
+
     return {
         "cls": cls,
         "nprobe": nprobe,
-        "slot_lvl": slot_lvl.astype(jnp.int32).reshape(-1),
-        "slot_tex": slot_tex.astype(jnp.int32).reshape(-1),
-        "oy_a": oy_a.reshape(-1),
-        "ox_a": ox_a.reshape(-1),
-        "ty_a": ty_a.reshape(-1),
-        "tx_a": tx_a.reshape(-1),
-        "oy_b": oy_b.reshape(-1),
-        "ox_b": ox_b.reshape(-1),
-        "ty_b": ty_b.reshape(-1),
-        "tx_b": tx_b.reshape(-1),
+        "n_used": n_used,
+        "slot_oy": flat_i32(slot_oy),
+        "slot_ox": flat_i32(slot_ox),
+        "slot_tyo": flat_i32(slot_tyo),
+        "slot_txo": flat_i32(slot_txo),
+        "assign": assign,
         "residual_tile": residual_tile,
         "residual_px": residual_px,
     }
 
 
-def _bilinear_slot(win, wh, ww, xrel, yrel, fx, fy, slot_mask, wdtype, sxy, sacc):
-    """Sample window `win` (4, wh, ww) at per-pixel coords.
+def _bilinear_slot(win, xrel, yrel, fx, fy, slot_mask, wdtype, sxy, sacc):
+    """Sample window `win` (4, WH, WW) at per-pixel coords.
 
     xrel/yrel: window coords of the bilinear anchor, (th, tw) f32.
     fx/fy: bilinear fractions. slot_mask zeroes pixels outside this
@@ -329,14 +309,14 @@ def _bilinear_slot(win, wh, ww, xrel, yrel, fx, fy, slot_mask, wdtype, sxy, sacc
     th, tw = xrel.shape
     sxy[0] = jnp.where(slot_mask, xrel + fx, -2.0)
     sxy[1] = jnp.where(slot_mask, yrel + fy, -2.0)
-    t4 = win.reshape(4 * wh, ww).astype(wdtype)
-    # Pixel rows are processed in chunks so the (rows, ww, tw) tent
+    t4 = win.reshape(4 * WH, WW).astype(wdtype)
+    # Pixel rows are processed in chunks so the (rows, WW, tw) tent
     # tensors stay small; a DYNAMIC ref-slicing loop makes Mosaic
     # reuse the chunk buffers (a static unroll stack-allocates every
     # iteration's temporaries and blows the 16 MB VMEM budget).
     rc = 8
-    ix = jax.lax.broadcasted_iota(jnp.int32, (rc, ww, tw), 1).astype(jnp.float32)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (wh, rc, tw), 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (rc, WW, tw), 1).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (WH, rc, tw), 0).astype(jnp.float32)
 
     def chunk(i, _):
         r0 = pl.multiple_of(i * rc, rc)
@@ -353,9 +333,9 @@ def _bilinear_slot(win, wh, ww, xrel, yrel, fx, fy, slot_mask, wdtype, sxy, sacc
             cw.astype(wdtype),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (4*wh, rc, tw)
+        )  # (4*WH, rc, tw)
         ry = jnp.maximum(0.0, 1.0 - jnp.abs(iy - yc[None, :, :]))
-        b = b.reshape(4, wh, rc, tw)
+        b = b.reshape(4, WH, rc, tw)
         for c in range(4):
             sacc[c, pl.ds(r0, rc), :] = jnp.sum(b[c] * ry, axis=0)
         return 0
@@ -364,118 +344,27 @@ def _bilinear_slot(win, wh, ww, xrel, yrel, fx, fy, slot_mask, wdtype, sxy, sacc
     return [sacc[c] for c in range(4)]
 
 
-def _sample_class(
-    g,
-    wins,
-    shapes,
-    t,
-    slot_lvl_ref,
-    slot_tex_ref,
-    ty0_ref,
-    tx0_ref,
-    nprobe_ref,
-    *,
-    tile_h,
-    tile_w,
-    max_anisotropy,
-    wdtype,
-    sxy,
-    sacc,
-):
-    """Shared per-class sampling body: returns albedo planes [r,g,b,a]."""
-    matched = g[16] > 0.0
-    u, v = g[6], g[7]
-    tw0, th0 = g[9], g[10]
-    tw1, th1 = g[11], g[12]
-    tfrac = g[13]
-    maj_du, maj_dv = g[14], g[15]
-    span = g[17]
-    texid = g[18]
-    l0 = g[19]
-    l1 = jnp.where((tw1 == tw0) & (th1 == th0), l0, l0 + 1.0)
-    np_t = nprobe_ref[t]
-    npf = np_t.astype(jnp.float32)
-
-    def probe_body(i, acc):
-        fo = ((i.astype(jnp.float32) + 0.5) / npf - 0.5) * span
-        up = u + maj_du * fo
-        vp = v + maj_dv * fo
-        own_acc = [jnp.zeros((tile_h, tile_w), jnp.float32)] * 4
-        par_acc = [jnp.zeros((tile_h, tile_w), jnp.float32)] * 4
-        for j, (wh, ww) in enumerate(shapes):
-            lvl_j = slot_lvl_ref[t * N_SLOTS + j].astype(jnp.float32)
-            tex_j = slot_tex_ref[t * N_SLOTS + j].astype(jnp.float32)
-            tex_ok = matched & (texid == tex_j)
-            own_j = tex_ok & (l0 == lvl_j)
-            par_j = tex_ok & (l1 == lvl_j)
-            any_role = own_j | par_j
-            # Own-level coords where this slot is the pixel's l0, else
-            # parent coords (roles coincide at the mip chain clamp,
-            # where the coords are equal anyway).
-            ww_sel = jnp.where(own_j, tw0, tw1)
-            hh_sel = jnp.where(own_j, th0, th1)
-            x = up * ww_sel - 0.5
-            yy = vp * hh_sel - 0.5
-            x0 = jnp.floor(x)
-            y0 = jnp.floor(yy)
-            fx = x - x0
-            fy = yy - y0
-            x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
-            y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
-            xrel = x0w - tx0_ref[t * N_SLOTS + j].astype(jnp.float32)
-            yrel = y0w - ty0_ref[t * N_SLOTS + j].astype(jnp.float32)
-            planes = _bilinear_slot(
-                wins[j][...], wh, ww, xrel, yrel, fx, fy, any_role,
-                wdtype, sxy, sacc,
-            )
-            for c in range(4):
-                own_acc[c] = own_acc[c] + jnp.where(own_j, planes[c], 0.0)
-                par_acc[c] = par_acc[c] + jnp.where(par_j, planes[c], 0.0)
-        t_i = 1.0 - tfrac
-        return [
-            a + (o * t_i + p * tfrac)
-            for a, o, p in zip(acc, own_acc, par_acc)
-        ]
-
-    zero = [jnp.zeros((tile_h, tile_w), jnp.float32)] * 4
-    if max_anisotropy > 1:
-        albedo = jax.lax.fori_loop(0, np_t, probe_body, zero)
-        return [a / npf for a in albedo]
-    return probe_body(jnp.int32(0), zero)
-
-
 def _sampler_kernel(
     # scalar prefetch
     cls_ref,  # (T,) i32
     nprobe_ref,  # (T,) i32
-    slot_lvl_ref,  # (T*S,) i32
-    slot_tex_ref,  # (T*S,) i32
-    oy_a_ref,
-    ox_a_ref,
-    ty_a_ref,
-    tx_a_ref,
-    oy_b_ref,
-    ox_b_ref,
-    ty_b_ref,
-    tx_b_ref,
+    n_used_ref,  # (T,) i32
+    oy_ref,  # (T*K,) i32
+    ox_ref,
+    tyo_ref,
+    txo_ref,
     # inputs
     gbuf_ref,  # VMEM (A_OUT, th, tw)
+    assign_ref,  # VMEM (2, th, tw) f32 own/parent slot index
     cam_ref,  # VMEM (1, 3) f32 camera position
     page_ref,  # ANY (4, PH, PW)
     # output
     out_ref,  # VMEM (4, th, tw) linear color
     # scratch
-    wa0,
-    wa1,
-    wa2,
-    wa3,
-    wb0,
-    wb1,
-    wb2,
-    wb3,
+    win,  # VMEM (K, 4, WH, WW)
     sxy,
     sacc,
-    sem,
+    sem,  # DMA sem (K,)
     *,
     tile_h: int,
     tile_w: int,
@@ -490,8 +379,6 @@ def _sampler_kernel(
 ):
     t = pl.program_id(0)
     cls = cls_ref[t]
-    wins_a = (wa0, wa1, wa2, wa3)
-    wins_b = (wb0, wb1, wb2, wb3)
 
     def shade_out(albedo):
         g = gbuf_ref
@@ -513,46 +400,103 @@ def _sampler_kernel(
         for c in range(4):
             out_ref[c] = planes[c]
 
-    def run_class(which, wins, shapes, oy_ref, ox_ref, ty_ref, tx_ref):
-        @pl.when(cls == which)
-        def _():
-            copies = []
-            for j, (wh, ww) in enumerate(shapes):
-                # Origins are ALIGN-multiples by construction
-                # (plan_tiles); multiple_of makes that provable to
-                # Mosaic's slice checker.
-                oy = pl.multiple_of(oy_ref[t * N_SLOTS + j], ALIGN_Y)
-                ox = pl.multiple_of(ox_ref[t * N_SLOTS + j], ALIGN_X)
-                c = pltpu.make_async_copy(
-                    page_ref.at[:, pl.ds(oy, wh), pl.ds(ox, ww)],
-                    wins[j],
-                    sem.at[j],
-                )
-                c.start()
-                copies.append(c)
-            for c in copies:
-                c.wait()
-            albedo = _sample_class(
-                gbuf_ref,
-                wins,
-                shapes,
-                t,
-                slot_lvl_ref,
-                slot_tex_ref,
-                ty_ref,
-                tx_ref,
-                nprobe_ref,
-                tile_h=tile_h,
-                tile_w=tile_w,
-                max_anisotropy=max_anisotropy,
-                wdtype=wdtype,
-                sxy=sxy,
-                sacc=sacc,
-            )
-            shade_out(albedo)
+    @pl.when(cls == CLS_WINDOWED)
+    def _windowed():
+        n = n_used_ref[t]
 
-    run_class(CLS_A, wins_a, SHAPES_A, oy_a_ref, ox_a_ref, ty_a_ref, tx_a_ref)
-    run_class(CLS_B, wins_b, SHAPES_B, oy_b_ref, ox_b_ref, ty_b_ref, tx_b_ref)
+        def dma_start(j, _):
+            oy = pl.multiple_of(oy_ref[t * K + j], ALIGN_Y)
+            ox = pl.multiple_of(ox_ref[t * K + j], ALIGN_X)
+            pltpu.make_async_copy(
+                page_ref.at[:, pl.ds(oy, WH), pl.ds(ox, WW)],
+                win.at[j],
+                sem.at[j],
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(0, n, dma_start, 0)
+
+        def dma_wait(j, _):
+            pltpu.make_async_copy(
+                page_ref.at[:, pl.ds(0, WH), pl.ds(0, WW)],
+                win.at[j],
+                sem.at[j],
+            ).wait()
+            return 0
+
+        jax.lax.fori_loop(0, n, dma_wait, 0)
+
+        g = gbuf_ref
+        u, v = g[6], g[7]
+        tw0, th0 = g[9], g[10]
+        tw1, th1 = g[11], g[12]
+        tfrac = g[13]
+        maj_du, maj_dv = g[14], g[15]
+        span = g[17]
+        assign_o = assign_ref[0]
+        assign_p = assign_ref[1]
+        np_t = nprobe_ref[t]
+        npf = np_t.astype(jnp.float32)
+
+        def probe_body(i, acc):
+            fo = ((i.astype(jnp.float32) + 0.5) / npf - 0.5) * span
+            up = u + maj_du * fo
+            vp = v + maj_dv * fo
+
+            def slot_body(j, sacc8):
+                jf = j.astype(jnp.float32)
+                tyo_j = tyo_ref[t * K + j].astype(jnp.float32)
+                txo_j = txo_ref[t * K + j].astype(jnp.float32)
+                own_j = assign_o == jf
+                par_j = assign_p == jf
+                # Own-level coords where this slot is the pixel's l0,
+                # else parent coords (roles coincide at the mip chain
+                # clamp, where the coords are equal anyway).
+                ww_sel = jnp.where(own_j, tw0, tw1)
+                hh_sel = jnp.where(own_j, th0, th1)
+                x = up * ww_sel - 0.5
+                yy = vp * hh_sel - 0.5
+                x0 = jnp.floor(x)
+                y0 = jnp.floor(yy)
+                fx = x - x0
+                fy = yy - y0
+                x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
+                y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
+                xrel = x0w - txo_j
+                yrel = y0w - tyo_j
+                planes = _bilinear_slot(
+                    win[j],
+                    xrel,
+                    yrel,
+                    fx,
+                    fy,
+                    own_j | par_j,
+                    wdtype,
+                    sxy,
+                    sacc,
+                )
+                out = []
+                for c in range(4):
+                    out.append(sacc8[c] + jnp.where(own_j, planes[c], 0.0))
+                for c in range(4):
+                    out.append(sacc8[4 + c] + jnp.where(par_j, planes[c], 0.0))
+                return out
+
+            zero8 = [jnp.zeros((tile_h, tile_w), jnp.float32)] * 8
+            oa_pa = jax.lax.fori_loop(0, n_used_ref[t], slot_body, zero8)
+            t_i = 1.0 - tfrac
+            return [
+                a + (o * t_i + p * tfrac)
+                for a, o, p in zip(acc, oa_pa[:4], oa_pa[4:])
+            ]
+
+        zero = [jnp.zeros((tile_h, tile_w), jnp.float32)] * 4
+        if max_anisotropy > 1:
+            albedo = jax.lax.fori_loop(0, np_t, probe_body, zero)
+            albedo = [a / npf for a in albedo]
+        else:
+            albedo = probe_body(jnp.int32(0), zero)
+        shade_out(albedo)
 
     @pl.when(cls >= CLS_EMPTY)
     def _other():
@@ -606,11 +550,16 @@ def sample_tiles(
         blend=blend,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=12,
+        num_scalar_prefetch=7,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(
                 (A_OUT, tile_h, tile_w),
+                lambda g, *_: (0, g // tiles_x, g % tiles_x),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2, tile_h, tile_w),
                 lambda g, *_: (0, g // tiles_x, g % tiles_x),
                 memory_space=pltpu.VMEM,
             ),
@@ -625,17 +574,10 @@ def sample_tiles(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4,) + SHAPES_A[0], page.dtype),
-            pltpu.VMEM((4,) + SHAPES_A[1], page.dtype),
-            pltpu.VMEM((4,) + SHAPES_A[2], page.dtype),
-            pltpu.VMEM((4,) + SHAPES_A[3], page.dtype),
-            pltpu.VMEM((4,) + SHAPES_B[0], page.dtype),
-            pltpu.VMEM((4,) + SHAPES_B[1], page.dtype),
-            pltpu.VMEM((4,) + SHAPES_B[2], page.dtype),
-            pltpu.VMEM((4,) + SHAPES_B[3], page.dtype),
+            pltpu.VMEM((K, 4, WH, WW), page.dtype),
             pltpu.VMEM((2, tile_h, tile_w), jnp.float32),
             pltpu.VMEM((4, tile_h, tile_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((N_SLOTS,)),
+            pltpu.SemaphoreType.DMA((K,)),
         ],
     )
     return pl.pallas_call(
@@ -646,17 +588,13 @@ def sample_tiles(
     )(
         plan["cls"],
         plan["nprobe"],
-        plan["slot_lvl"],
-        plan["slot_tex"],
-        plan["oy_a"],
-        plan["ox_a"],
-        plan["ty_a"],
-        plan["tx_a"],
-        plan["oy_b"],
-        plan["ox_b"],
-        plan["ty_b"],
-        plan["tx_b"],
+        plan["n_used"],
+        plan["slot_oy"],
+        plan["slot_ox"],
+        plan["slot_tyo"],
+        plan["slot_txo"],
         gbuf,
+        plan["assign"],
         camera_position.reshape(1, 3),
         page,
     )[0]

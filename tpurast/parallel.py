@@ -141,6 +141,18 @@ def make_sharded_renderer(scene_dev, config, mesh: Mesh, width: int, height: int
             ),
             shading=config.shading,
             binning=binning,
+            # Mirror Renderer._configure_target's sampler selection so a
+            # sharded slab renders through the SAME engine as the
+            # single-chip path (bit-identity contract, test_sharding).
+            sampler=(
+                "window"
+                if (
+                    config.shading == "forward"
+                    and config.sampler in ("auto", "window")
+                    and "page" in scene_dev["atlas"]
+                )
+                else "gather"
+            ),
         )
     )
     return fn

@@ -48,12 +48,17 @@ def _shade_windowed(
 ):
     """Windowed sampling + in-kernel lighting (kernels/sampler.py), with
     the per-pixel gather path as a per-tile fallback for tiles whose
-    texel footprint exceeds the static window classes. The fallback is
-    under lax.cond: frames where every covered tile fits (the designed
-    common case) never execute the gather. Returns (framebuffer,
+    texel footprint exceeds the window budget. Residual tiles are
+    COMPACTED into a (RT_CAP * tile_h, tile_w) pseudo-frame and shaded
+    there, so a few unwindowable tiles cost a few tiles' worth of
+    gathers — not a full-frame gather pass; only a frame with more
+    than RT_CAP residual tiles (pathological) pays the full-frame
+    path. Both fallbacks sit under lax.cond: frames where every
+    covered tile fits never execute any gather. Returns (framebuffer,
     window_miss_px) — the counter is surfaced like bin_overflow so an
     unwindowable scene is visible, not silently slow."""
     from tpurast.kernels import sampler as ksampler
+    from tpurast.kernels.resolve import A_OUT
 
     kw = dict(light_kwargs)
     kw.pop("texel_format")
@@ -82,9 +87,9 @@ def _shade_windowed(
         **kw,
     )
 
-    def fallback(_):
+    def shade_fallback(g):
         return shade.shade_gbuffer(
-            gbuf,
+            g,
             scene["atlas"]["texels"],
             camera_position,
             max_anisotropy=max_anisotropy,
@@ -92,15 +97,57 @@ def _shade_windowed(
             **kw,
         )
 
-    miss = plan["residual_px"]
-    fb_fall = jax.lax.cond(
-        miss > 0, fallback, lambda _: jnp.zeros_like(fb_win), None
+    t_total = tiles_x * tiles_y
+    resid = plan["residual_tile"]  # (T,) bool
+    n_resid = jnp.sum(resid.astype(jnp.int32))
+    rt_cap = min(64, t_total)
+
+    def compact_fallback(_):
+        # First rt_cap residual tiles in raster order via one top_k.
+        wgt = jnp.where(resid, t_total - jnp.arange(t_total, dtype=jnp.int32), 0)
+        _, tidx = jax.lax.top_k(wgt, rt_cap)
+        live = resid[tidx]
+        sy = (tidx // tiles_x) * tile_h
+        sx = (tidx % tiles_x) * tile_w
+        g_tiles = jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(
+                gbuf, (0, y, x), (A_OUT, tile_h, tile_w)
+            )
+        )(sy, sx)  # (RT, A_OUT, th, tw)
+        g_img = jnp.transpose(g_tiles, (1, 0, 2, 3)).reshape(
+            A_OUT, rt_cap * tile_h, tile_w
+        )
+        fb_c = shade_fallback(g_img).reshape(4, rt_cap, tile_h, tile_w)
+
+        def put(i, fb):
+            return jax.lax.cond(
+                live[i],
+                lambda f: jax.lax.dynamic_update_slice(
+                    f, fb_c[:, i], (0, sy[i], sx[i])
+                ),
+                lambda f: f,
+                fb,
+            )
+
+        return jax.lax.fori_loop(0, rt_cap, put, fb_win)
+
+    def fullframe_fallback(_):
+        fb_fall = shade_fallback(gbuf)
+        res_px = jnp.broadcast_to(
+            resid.reshape(tiles_y, 1, tiles_x, 1),
+            (tiles_y, tile_h, tiles_x, tile_w),
+        ).reshape(tiles_y * tile_h, tiles_x * tile_w)
+        return jnp.where(res_px[None], fb_fall, fb_win)
+
+    out = jax.lax.cond(
+        n_resid == 0,
+        lambda _: fb_win,
+        lambda _: jax.lax.cond(
+            n_resid <= rt_cap, compact_fallback, fullframe_fallback, None
+        ),
+        None,
     )
-    res_px = jnp.broadcast_to(
-        plan["residual_tile"].reshape(tiles_y, 1, tiles_x, 1),
-        (tiles_y, tile_h, tiles_x, tile_w),
-    ).reshape(tiles_y * tile_h, tiles_x * tile_w)
-    return jnp.where(res_px[None], fb_fall, fb_win), miss
+    return out, plan["residual_px"]
 
 
 def render_frame(
@@ -155,15 +202,11 @@ def render_frame(
         ty_base = tile_row_offset
         y_offset_px = tile_row_offset * tile_h
     out_h = height if crop_height is None else crop_height
-    clip, world, wnormal = geometry.transform_vertices(
-        scene["positions"],
-        scene["normals"],
-        scene["vert_prim"],
-        scene["models"],
-        scene["normal_mats"],
-        view_proj,
-    )
-    setup_out = geometry.triangle_setup(clip, scene["faces"], scene["n_faces"], width, height)
+    # Corner-table vertex stage: world-space corners are baked at scene
+    # build (device/scene.py corner_tables) so the per-frame geometry is
+    # gather-free — only the view-projection runs here.
+    clip_c = geometry.transform_corners(scene["corner_world"], view_proj)
+    setup_out = geometry.triangle_setup(clip_c, None, scene["n_faces"], width, height)
     if binning == "pairs":
         bins = geometry.bin_pairs(
             setup_out["aabb"],
@@ -188,15 +231,11 @@ def render_frame(
     tile_counts = bins["counts"]
     overflow = bins["overflow"]
     plan = raster.plan_segments(bins, segment_headroom=segment_headroom)
-    faces = scene["faces"]
-    # ONE per-vertex attribute gather instead of three: row-gather cost
-    # is per row, so joining world/normal/uv into an 8-wide table cuts
-    # the per-face vertex fetch ~3x (tens of ms at 4K instancing).
-    vattr = jnp.concatenate([world, wnormal, scene["uvs"]], axis=1)  # (V, 8)
-    frows = vattr[faces.reshape(-1)].reshape(-1, 3, 8)  # (F, 3, 8)
-    face_world = frows[..., 0:3]
-    face_normal = frows[..., 3:6]
-    face_uv = frows[..., 6:8]
+    # Face attributes come straight from the build-time corner tables —
+    # no per-frame vertex gathers (see transform_corners above).
+    face_world = scene["corner_world"]
+    face_normal = scene["corner_normal"]
+    face_uv = scene["corner_uv"]
     light_kwargs = dict(
         light_direction=light_direction,
         light_color=light_color,
@@ -226,7 +265,7 @@ def render_frame(
             face_world,
             face_normal,
             face_uv,
-            scene["prim_tex"][scene["face_prim"]],
+            scene["face_tex"],
             scene["atlas"],
         )
         gbuf = resolve.resolve_gbuffer(
@@ -265,7 +304,7 @@ def render_frame(
             face_world,
             face_normal,
             face_uv,
-            scene["prim_tex"][scene["face_prim"]],
+            scene["face_tex"],
             scene["atlas"],
         )
         framebuffer = shade.shade_deferred(
