@@ -51,24 +51,11 @@ def main() -> int:
 
     from tpurast.camera import Camera
     from tpurast.config import RendererConfig
-    from tpurast.device.scene import load_demo_scene
+    from tpurast.device.scene_cache import load_named_scene
     from tpurast.present import Presenter
     from tpurast.renderer import Renderer
 
-    if args.scene == "dragons64":
-        from tpurast.device.scene import load_instanced_dragons
-
-        scene = load_instanced_dragons(args.data_dir, 64)
-    elif args.scene == "hdr":
-        from tpurast.device.scene import load_hdr_scene
-
-        scene = load_hdr_scene(args.data_dir)
-    elif args.scene == "porsche_class":
-        from tpurast.device.scene import load_porsche_class_scene
-
-        scene = load_porsche_class_scene(args.data_dir)
-    else:
-        scene = load_demo_scene(args.data_dir)
+    scene = load_named_scene(args.scene, args.data_dir)
     overrides = {}
     if args.texture_dtype:
         overrides["texture_dtype"] = args.texture_dtype

@@ -1,0 +1,63 @@
+"""Host-side scene cache.
+
+Building the porsche-class scene costs minutes of host CPU (BC7 decode
+of 11 full 2048^2 mip chains + atlas/page packing). The DeviceScene is
+pure numpy before any `.device()` call, so it pickles once and reloads
+in seconds. Build time is never part of the benchmark's timed loop
+(tpurast/cli.py times only render + readback), so the cache changes
+iteration latency, not any reported number.
+
+Cache key = scene name + loader kwargs + CACHE_VERSION. Bump
+CACHE_VERSION when DeviceScene gains fields the pickle must carry
+(stale pickles would silently fall back to dataclass defaults) or when
+asset decoding changes. Opt out with TPURAST_SCENE_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+
+log = logging.getLogger("tpurast.device")
+
+CACHE_DIR = os.environ.get("TPURAST_SCENE_CACHE_DIR", "/root/repo/.scene_cache")
+
+CACHE_VERSION = 2
+
+
+def load_scene_cached(name: str, loader, *args, **kwargs):
+    """Memoize `loader(*args, **kwargs)` on disk under `name`."""
+    if os.environ.get("TPURAST_SCENE_CACHE", "1") != "1":
+        return loader(*args, **kwargs)
+    path = os.path.join(CACHE_DIR, f"{name}.v{CACHE_VERSION}.pkl")
+    if os.path.exists(path):
+        log.info("scene cache hit: %s", path)
+        with open(path, "rb") as fh:
+            return pickle.load(fh)
+    scene = loader(*args, **kwargs)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        # The scene must not carry device arrays (anything after
+        # .device() memoizes jnp buffers onto the object).
+        state = dict(scene.__dict__)
+        state.pop("_device_cache", None)
+        clone = type(scene).__new__(type(scene))
+        clone.__dict__.update(state)
+        pickle.dump(clone, fh, protocol=5)
+    os.replace(tmp, path)
+    return scene
+
+
+def load_named_scene(name: str, data_dir: str):
+    """Load one of the benchmark scenes by name, cached."""
+    from tpurast.device import scene as scene_mod
+
+    loaders = {
+        "demo": scene_mod.load_demo_scene,
+        "porsche_class": scene_mod.load_porsche_class_scene,
+        "hdr": scene_mod.load_hdr_scene,
+        "dragons64": lambda d: scene_mod.load_instanced_dragons(d, 64),
+    }
+    return load_scene_cached(name, loaders[name], data_dir)
