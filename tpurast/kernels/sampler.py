@@ -34,14 +34,19 @@ cache EXPLICIT:
      then select + bilinear-filter texels with tent-weight one-hot MXU
      contractions:
 
-       weights C[r, i, c] = max(0, 1 - |i - x(r, c)|)   (rows, WW, tw)
+       weights C[r, i, c] = max(0, 1 - |i - x(r, c)|)   (RC, WW, tw)
 
      nonzero exactly at the two bilinear x-neighbors with exactly the
      bilinear weights, so one batched matmul  B = T . C  x-filters
-     every pixel row against the window; a tent over WH rows
-     y-filters on the VPU. Per-pixel HBM gathers are gone: texel
-     traffic is the window DMA (O(tile footprint), contiguous), and
-     selection runs at MXU rate.
+     every pixel row against the window; a tent over the band rows
+     y-filters on the VPU. The contraction cost is 4*rows*WW MACs per
+     pixel, so the kernel walks RC-row pixel chunks and, per chunk,
+     runs EXACTLY the slots that chunk references (the plan packs a
+     dense per-chunk slot list) against ONLY a YB-row band of the
+     window the plan proves sufficient — ~n_used*WH/YB fewer MACs
+     than filtering every chunk against every slot's full window.
+     Per-pixel HBM gathers are gone: texel traffic is the window DMA
+     (O(tile footprint), contiguous), and selection runs at MXU rate.
   3. The basic.frag lighting + blend (kernels/shade.py formulas) run
      in-kernel on the G-buffer planes, so the kernel emits final
      linear framebuffer tiles and the XLA shading tail disappears.
@@ -97,6 +102,17 @@ COV_X = WW - ALIGN_X - 1  # 255
 CLS_WINDOWED = 0
 CLS_EMPTY = 2
 CLS_RESIDUAL = 3
+
+# Kernel blocking: pixel rows per chunk (sublane-sized) and window rows
+# per selection band. The x-filter contraction costs 4*rows*WW MACs per
+# pixel, so contracting a YB-row band the plan proves sufficient —
+# instead of all WH rows — cuts the dominant matmul 3x; chunks whose
+# span can't fit one band (wrapped small-rect seams, extreme aniso
+# spreads) run WH//YB disjoint bands, which sums to the identical
+# result (tent weights are evaluated against absolute window rows, so
+# rows outside a pixel's 2-row support contribute exact zeros).
+RC = 16
+YB = 48
 
 # Whole-rect thresholds: the rect (incl. ghost border) must fit one
 # window with its anchors inside the covered range.
@@ -266,6 +282,61 @@ def plan_tiles(
     n_matched = jnp.sum(matched, axis=(1, 3)).reshape(-1)
     residual_px = jnp.sum(jnp.where(residual_tile, n_matched, 0))
 
+    # ---- per-chunk slot lists + selection bands ---------------------------
+    # The kernel walks pixel rows in chunks of RC; per (tile, chunk) the
+    # plan packs the slots actually referenced by that chunk's pixels
+    # (dense list + count, so the kernel's slot loop runs EXACTLY the
+    # used slots — no cond, no masked wasted matmuls) and a y-band
+    # [band0, band0 + nb*YB) of the window that contains every
+    # referenced texel row, so the MXU contraction reads YB window rows
+    # instead of WH. Bands cover all probe extremes (same yo/yp ranges
+    # the covering used), so the kernel never reads outside its band.
+    nc = tile_h // RC
+
+    def chunked(plane4):  # (ty, th, tx, tw) -> (ty, NC, RC, tx, tw)
+        return plane4.reshape(tiles_y, nc, RC, tiles_x, tile_w)
+
+    def cmin(v, m):  # masked min over a chunk -> (ty, NC, tx)
+        return jnp.min(jnp.where(m, v, big), axis=(2, 4))
+
+    def cmax(v, m):
+        return jnp.max(jnp.where(m, v, -big), axis=(2, 4))
+
+    ao_c = chunked(assign_o)
+    ap_c = chunked(assign_p)
+    yol_c, yoh_c = chunked(yo_lo), chunked(yo_hi)
+    ypl_c, yph_c = chunked(yp_lo), chunked(yp_hi)
+    c_used, c_jid, c_b0, c_nb = [], [], [], []
+    tyo_tk = slot_tyo.reshape(tiles_y, tiles_x, K)
+    for j in range(K):
+        own_j = ao_c == float(j)
+        par_j = ap_c == float(j)
+        use_j = jnp.any(own_j | par_j, axis=(2, 4))  # (ty, NC, tx)
+        lo = jnp.minimum(cmin(yol_c, own_j), cmin(ypl_c, par_j))
+        hi = jnp.maximum(cmax(yoh_c, own_j), cmax(yph_c, par_j))
+        tyo_j = tyo_tk[:, :, j].astype(jnp.float32)  # (ty, tx)
+        rel_lo = lo - tyo_j[:, None, :]
+        rel_hi = hi - tyo_j[:, None, :] + 1.0  # +1 bilinear row neighbor
+        b0 = jnp.clip(jnp.floor(rel_lo / ALIGN_Y) * ALIGN_Y, 0.0, WH - YB)
+        fits1 = rel_hi < b0 + YB
+        c_used.append(use_j)
+        c_jid.append(jnp.full_like(use_j, j, dtype=jnp.int32))
+        c_b0.append(jnp.where(fits1, b0, 0.0).astype(jnp.int32))
+        c_nb.append(jnp.where(fits1, 1, WH // YB).astype(jnp.int32))
+    cu = jnp.stack(c_used, axis=-1)  # (ty, NC, tx, K)
+    cjid = jnp.stack(c_jid, axis=-1)
+    cb0 = jnp.stack(c_b0, axis=-1)
+    cnb = jnp.stack(c_nb, axis=-1)
+    # Pack used slots densely (ascending j) via one tiny sort along K.
+    sort_key = jnp.where(cu, cjid, K).astype(jnp.int32)
+    _, p_jid, p_b0, p_nb = jax.lax.sort(
+        (sort_key, cjid, cb0, cnb), num_keys=1
+    )
+    chunk_cnt = jnp.sum(cu, axis=-1).astype(jnp.int32)  # (ty, NC, tx)
+
+    def chunk_flat(x):  # (ty, NC, tx, ...) -> (T * NC * ...), tile-major
+        return jnp.swapaxes(x, 1, 2).reshape(-1).astype(jnp.int32)
+
     h = tiles_y * tile_h
     w = tiles_x * tile_w
     assign = jnp.stack(
@@ -287,61 +358,58 @@ def plan_tiles(
         "slot_ox": flat_i32(slot_ox),
         "slot_tyo": flat_i32(slot_tyo),
         "slot_txo": flat_i32(slot_txo),
+        "chunk_cnt": chunk_flat(chunk_cnt),
+        "chunk_jid": chunk_flat(p_jid),
+        "chunk_b0": chunk_flat(p_b0),
+        "chunk_nb": chunk_flat(p_nb),
         "assign": assign,
         "residual_tile": residual_tile,
         "residual_px": residual_px,
     }
 
 
-def _bilinear_slot(win, xrel, yrel, fx, fy, slot_mask, wdtype, sxy, sacc):
-    """Sample window `win` (4, WH, WW) at per-pixel coords.
+def _bilinear_chunk(win, j, b0, nb, xsel, ysel, wdtype, ix):
+    """Bilinear-sample window slot `j` for one RC-row pixel chunk.
 
-    xrel/yrel: window coords of the bilinear anchor, (th, tw) f32.
-    fx/fy: bilinear fractions. slot_mask zeroes pixels outside this
-    slot. Returns 4 planes (th, tw) f32 (zero where masked).
+    xsel/ysel: per-pixel window-coordinate sample positions
+    (anchor + fraction), (RC, tw) f32, -2.0 where the pixel does not
+    reference this slot (tent weights vanish there). b0/nb: the plan's
+    selection band — rows [b0, b0 + nb*YB) of the window contain every
+    referenced texel row. Returns 4 planes (RC, tw) f32.
 
     x-filtering: batched MXU contraction with tent weights
-      C[r, i, c] = max(0, 1 - |i - (xrel + fx)|)
+      C[r, i, c] = max(0, 1 - |i - xsel(r, c)|)
     which places (1-fx, fx) at the two x-neighbors. y-filtering: tent
-    over rows on the VPU. Weight placement and lerp order match
-    shade._trilerp up to f32-vs-bf16 rounding.
+    over the band rows on the VPU, against ABSOLUTE window row indices
+    (bands are disjoint, so multi-band sums add exact zeros). Weight
+    placement and lerp order match shade._trilerp up to f32-vs-bf16
+    rounding.
     """
-    th, tw = xrel.shape
-    sxy[0] = jnp.where(slot_mask, xrel + fx, -2.0)
-    sxy[1] = jnp.where(slot_mask, yrel + fy, -2.0)
-    t4 = win.reshape(4 * WH, WW).astype(wdtype)
-    # Pixel rows are processed in chunks so the (rows, WW, tw) tent
-    # tensors stay small; a DYNAMIC ref-slicing loop makes Mosaic
-    # reuse the chunk buffers (a static unroll stack-allocates every
-    # iteration's temporaries and blows the 16 MB VMEM budget).
-    rc = 8
-    ix = jax.lax.broadcasted_iota(jnp.int32, (rc, WW, tw), 1).astype(jnp.float32)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (WH, rc, tw), 0).astype(jnp.float32)
+    tw = xsel.shape[1]
+    cw = jnp.maximum(0.0, 1.0 - jnp.abs(ix - xsel[:, None, :])).astype(wdtype)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (YB, RC, tw), 0).astype(jnp.float32)
 
-    def chunk(i, _):
-        r0 = pl.multiple_of(i * rc, rc)
-        xc = sxy[0, pl.ds(r0, rc), :]
-        yc = sxy[1, pl.ds(r0, rc), :]
-        cw = jnp.maximum(0.0, 1.0 - jnp.abs(ix - xc[:, None, :]))
+    def band(k, p4):
+        start = pl.multiple_of(b0 + k * YB, ALIGN_Y)
+        tband = win[j, :, pl.ds(start, YB), :].reshape(4 * YB, WW).astype(wdtype)
         # One batched contraction x-filters all 4 channels. Both
         # operands are explicitly bf16 (texels 2^-11 -> 2^-9, tent
         # weights 2^-9) so compiled MXU and interpret mode agree up
         # to accumulation order; f32 accumulation via
         # preferred_element_type.
         b = jax.lax.dot_general(
-            t4,
-            cw.astype(wdtype),
+            tband,
+            cw,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (4*WH, rc, tw)
-        ry = jnp.maximum(0.0, 1.0 - jnp.abs(iy - yc[None, :, :]))
-        b = b.reshape(4, WH, rc, tw)
-        for c in range(4):
-            sacc[c, pl.ds(r0, rc), :] = jnp.sum(b[c] * ry, axis=0)
-        return 0
+        ).reshape(4, YB, RC, tw)
+        ry = jnp.maximum(
+            0.0, 1.0 - jnp.abs(iy + start.astype(jnp.float32) - ysel[None, :, :])
+        )
+        return [p4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)]
 
-    jax.lax.fori_loop(0, th // rc, chunk, 0)
-    return [sacc[c] for c in range(4)]
+    zero = [jnp.zeros((RC, tw), jnp.float32)] * 4
+    return jax.lax.fori_loop(0, nb, band, zero)
 
 
 def _sampler_kernel(
@@ -353,6 +421,10 @@ def _sampler_kernel(
     ox_ref,
     tyo_ref,
     txo_ref,
+    cnt_ref,  # (T*NC,) i32 used-slot count per pixel chunk
+    jid_ref,  # (T*NC*K,) i32 dense used-slot ids per chunk
+    b0_ref,  # (T*NC*K,) i32 selection band start row
+    nb_ref,  # (T*NC*K,) i32 selection band count
     # inputs
     gbuf_ref,  # VMEM (A_OUT, th, tw)
     assign_ref,  # VMEM (2, th, tw) f32 own/parent slot index
@@ -362,7 +434,6 @@ def _sampler_kernel(
     out_ref,  # VMEM (4, th, tw) linear color
     # scratch
     win,  # VMEM (K, 4, WH, WW)
-    sxy,
     sacc,
     sem,  # DMA sem (K,)
     *,
@@ -427,76 +498,89 @@ def _sampler_kernel(
         jax.lax.fori_loop(0, n, dma_wait, 0)
 
         g = gbuf_ref
-        u, v = g[6], g[7]
-        tw0, th0 = g[9], g[10]
-        tw1, th1 = g[11], g[12]
-        tfrac = g[13]
-        maj_du, maj_dv = g[14], g[15]
-        span = g[17]
-        assign_o = assign_ref[0]
-        assign_p = assign_ref[1]
         np_t = nprobe_ref[t]
         npf = np_t.astype(jnp.float32)
+        nc = tile_h // RC
+        ix = jax.lax.broadcasted_iota(
+            jnp.int32, (RC, WW, tile_w), 1
+        ).astype(jnp.float32)
 
-        def probe_body(i, acc):
-            fo = ((i.astype(jnp.float32) + 0.5) / npf - 0.5) * span
-            up = u + maj_du * fo
-            vp = v + maj_dv * fo
+        def chunk_body(ci, _):
+            r0 = pl.multiple_of(ci * RC, RC)
+            rows = pl.ds(r0, RC)
+            u, v = g[6, rows, :], g[7, rows, :]
+            tw0, th0 = g[9, rows, :], g[10, rows, :]
+            tw1, th1 = g[11, rows, :], g[12, rows, :]
+            tfrac = g[13, rows, :]
+            maj_du, maj_dv = g[14, rows, :], g[15, rows, :]
+            span = g[17, rows, :]
+            assign_o = assign_ref[0, rows, :]
+            assign_p = assign_ref[1, rows, :]
+            cbase = t * nc + ci
 
-            def slot_body(j, sacc8):
-                jf = j.astype(jnp.float32)
-                tyo_j = tyo_ref[t * K + j].astype(jnp.float32)
-                txo_j = txo_ref[t * K + j].astype(jnp.float32)
-                own_j = assign_o == jf
-                par_j = assign_p == jf
-                # Own-level coords where this slot is the pixel's l0,
-                # else parent coords (roles coincide at the mip chain
-                # clamp, where the coords are equal anyway).
-                ww_sel = jnp.where(own_j, tw0, tw1)
-                hh_sel = jnp.where(own_j, th0, th1)
-                x = up * ww_sel - 0.5
-                yy = vp * hh_sel - 0.5
-                x0 = jnp.floor(x)
-                y0 = jnp.floor(yy)
-                fx = x - x0
-                fy = yy - y0
-                x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
-                y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
-                xrel = x0w - txo_j
-                yrel = y0w - tyo_j
-                planes = _bilinear_slot(
-                    win[j],
-                    xrel,
-                    yrel,
-                    fx,
-                    fy,
-                    own_j | par_j,
-                    wdtype,
-                    sxy,
-                    sacc,
-                )
-                out = []
-                for c in range(4):
-                    out.append(sacc8[c] + jnp.where(own_j, planes[c], 0.0))
-                for c in range(4):
-                    out.append(sacc8[4 + c] + jnp.where(par_j, planes[c], 0.0))
-                return out
+            def probe_body(i, acc):
+                fo = ((i.astype(jnp.float32) + 0.5) / npf - 0.5) * span
+                up = u + maj_du * fo
+                vp = v + maj_dv * fo
 
-            zero8 = [jnp.zeros((tile_h, tile_w), jnp.float32)] * 8
-            oa_pa = jax.lax.fori_loop(0, n_used_ref[t], slot_body, zero8)
-            t_i = 1.0 - tfrac
-            return [
-                a + (o * t_i + p * tfrac)
-                for a, o, p in zip(acc, oa_pa[:4], oa_pa[4:])
-            ]
+                def slot_body(k, sacc8):
+                    # The plan's dense used-slot list: the loop trip
+                    # count is EXACTLY the slots this chunk references.
+                    e = cbase * K + k
+                    j = jid_ref[e]
+                    jf = j.astype(jnp.float32)
+                    tyo_j = tyo_ref[t * K + j].astype(jnp.float32)
+                    txo_j = txo_ref[t * K + j].astype(jnp.float32)
+                    own_j = assign_o == jf
+                    par_j = assign_p == jf
+                    m = own_j | par_j
+                    # Own-level coords where this slot is the pixel's
+                    # l0, else parent coords (roles coincide at the mip
+                    # chain clamp, where the coords are equal anyway).
+                    ww_sel = jnp.where(own_j, tw0, tw1)
+                    hh_sel = jnp.where(own_j, th0, th1)
+                    x = up * ww_sel - 0.5
+                    yy = vp * hh_sel - 0.5
+                    x0 = jnp.floor(x)
+                    y0 = jnp.floor(yy)
+                    fx = x - x0
+                    fy = yy - y0
+                    x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
+                    y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
+                    xsel = jnp.where(m, x0w - txo_j + fx, -2.0)
+                    ysel = jnp.where(m, y0w - tyo_j + fy, -2.0)
+                    planes = _bilinear_chunk(
+                        win, j, b0_ref[e], nb_ref[e], xsel, ysel, wdtype, ix
+                    )
+                    out = []
+                    for c in range(4):
+                        out.append(sacc8[c] + jnp.where(own_j, planes[c], 0.0))
+                    for c in range(4):
+                        out.append(
+                            sacc8[4 + c] + jnp.where(par_j, planes[c], 0.0)
+                        )
+                    return out
 
-        zero = [jnp.zeros((tile_h, tile_w), jnp.float32)] * 4
-        if max_anisotropy > 1:
-            albedo = jax.lax.fori_loop(0, np_t, probe_body, zero)
-            albedo = [a / npf for a in albedo]
-        else:
-            albedo = probe_body(jnp.int32(0), zero)
-        shade_out(albedo)
+                zero8 = [jnp.zeros((RC, tile_w), jnp.float32)] * 8
+                oa_pa = jax.lax.fori_loop(0, cnt_ref[cbase], slot_body, zero8)
+                t_i = 1.0 - tfrac
+                return [
+                    a + (o * t_i + p * tfrac)
+                    for a, o, p in zip(acc, oa_pa[:4], oa_pa[4:])
+                ]
+
+            zero = [jnp.zeros((RC, tile_w), jnp.float32)] * 4
+            if max_anisotropy > 1:
+                alb = jax.lax.fori_loop(0, np_t, probe_body, zero)
+                alb = [a / npf for a in alb]
+            else:
+                alb = probe_body(jnp.int32(0), zero)
+            for c in range(4):
+                sacc[c, rows, :] = alb[c]
+            return 0
+
+        jax.lax.fori_loop(0, nc, chunk_body, 0)
+        shade_out([sacc[0], sacc[1], sacc[2], sacc[3]])
 
     @pl.when(cls >= CLS_EMPTY)
     def _other():
@@ -535,6 +619,7 @@ def sample_tiles(
     h = tiles_y * tile_h
     w = tiles_x * tile_w
     wdtype = jnp.bfloat16
+    assert tile_h % RC == 0, "tile_h must be a multiple of the row chunk"
 
     kernel = functools.partial(
         _sampler_kernel,
@@ -550,7 +635,7 @@ def sample_tiles(
         blend=blend,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=11,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(
@@ -575,7 +660,6 @@ def sample_tiles(
         ],
         scratch_shapes=[
             pltpu.VMEM((K, 4, WH, WW), page.dtype),
-            pltpu.VMEM((2, tile_h, tile_w), jnp.float32),
             pltpu.VMEM((4, tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((K,)),
         ],
@@ -593,6 +677,10 @@ def sample_tiles(
         plan["slot_ox"],
         plan["slot_tyo"],
         plan["slot_txo"],
+        plan["chunk_cnt"],
+        plan["chunk_jid"],
+        plan["chunk_b0"],
+        plan["chunk_nb"],
         gbuf,
         plan["assign"],
         camera_position.reshape(1, 3),
