@@ -103,13 +103,17 @@ def test_pages_ghost_border_wraps():
             np.testing.assert_array_equal(rect[1:-1, -1], m[:, 0])
 
 
-def test_pages_origins_aligned_and_clamped():
-    _, pages = _toy_pages()
-    # Rect origins land on the window DMA grid so whole-rect windows
-    # start aligned (kernels/sampler.py ALIGN_Y/ALIGN_X).
-    used = pages.origins[:, : pages_mod.MAX_MIPS]
-    assert (used[..., 0] % ksampler.ALIGN_Y == 0).all()
-    assert (used[..., 1] % ksampler.ALIGN_X == 0).all()
+def test_pages_tail_packed_and_clamped():
+    textures, pages = _toy_pages()
+    # Small "tail" mips pack densely into a TAIL_W-wide strip at the
+    # page top (window origins align themselves; rect origins need no
+    # DMA-grid alignment), so one sampler window can cover many of them.
+    for ti, mips in enumerate(textures):
+        for mi, m in enumerate(mips):
+            h, w = m.shape[:2]
+            if h + 2 <= pages_mod.TAIL_H and w + 2 <= pages_mod.TAIL_W:
+                oy, ox = pages.origins[ti, mi]
+                assert ox + w + 2 <= pages_mod.TAIL_W
     # Beyond the chain, origins/sizes clamp to the last real mip.
     assert pages.n_mips[0] == 3
     np.testing.assert_array_equal(pages.origins[0, 3], pages.origins[0, 2])

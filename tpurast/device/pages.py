@@ -83,13 +83,24 @@ def _rect_with_border(m: np.ndarray) -> np.ndarray:
     return np.pad(m, ((1, 1), (1, 1), (0, 0)), mode="wrap")
 
 
-def build_pages(textures: list[list[np.ndarray]]) -> TexturePages:
-    """Shelf-pack every (texture, mip) rect into one channel-planar page.
+# Mip-tail region geometry: rects at most this tall/wide pack densely
+# into TAIL_W-wide strips so one sampler window (COV 87x255 anchors,
+# kernels/sampler.py) covers MANY small mips at once — the covering
+# works in page coordinates, so horizon tiles that touch a dozen
+# (texture, mip) tails cost 1-2 windows instead of a dozen.
+TAIL_H = 66  # mips <= 64 px tall (incl. ghost border)
+TAIL_W = 248
 
-    Rects are packed in descending height (classic shelf heuristic);
-    page width adapts to the largest rect. Beyond each texture's mip
-    chain, origins/sizes clamp to the last mip (same convention as the
-    gather atlas) so lod clamping needs no bounds logic in the kernel.
+
+def build_pages(textures: list[list[np.ndarray]]) -> TexturePages:
+    """Pack every (texture, mip) rect into one channel-planar page.
+
+    Two regions: small "tail" mips pack densely (no alignment — window
+    origins align themselves) into TAIL_W-wide strips at the page top;
+    big rects shelf-pack below, tallest first. Beyond each texture's
+    mip chain, origins/sizes clamp to the last mip (same convention as
+    the gather atlas) so lod clamping needs no bounds logic in the
+    kernel.
     """
     n_tex = len(textures)
     origins = np.zeros((n_tex, MAX_MIPS, 2), dtype=np.int32)
@@ -110,17 +121,33 @@ def build_pages(textures: list[list[np.ndarray]]) -> TexturePages:
     max_w = max((r[1] for r in rects), default=1)
     page_w = max(512, -(-max_w // 128) * 128)
 
-    # Shelf pack, tallest first. Rect origins land on the sampler's
-    # window-alignment grid (kernels/sampler.py ALIGN_Y/ALIGN_X) so
-    # whole-rect windows start aligned — zero alignment slack for the
-    # small-mip "fetch the whole rect" case.
     def up(x, m):
         return -(-x // m) * m
 
-    shelves: list[list[int]] = []  # per shelf: [y, height, cursor_x]
     placements = {}
     y_cursor = 0
-    for rh, rw, ti, mi in sorted(rects, reverse=True):
+
+    # Tail region: dense shelves, strip width TAIL_W.
+    tail = [r for r in rects if r[0] <= TAIL_H and r[1] <= TAIL_W]
+    big = [r for r in rects if not (r[0] <= TAIL_H and r[1] <= TAIL_W)]
+    shelves: list[list[int]] = []  # per shelf: [y, height, cursor_x]
+    for rh, rw, ti, mi in sorted(tail, reverse=True):
+        placed = False
+        for shelf in shelves:
+            if rh <= shelf[1] and shelf[2] + rw <= TAIL_W:
+                placements[(ti, mi)] = (shelf[0], shelf[2])
+                shelf[2] += rw
+                placed = True
+                break
+        if not placed:
+            shelves.append([y_cursor, rh, rw])
+            placements[(ti, mi)] = (y_cursor, 0)
+            y_cursor += rh
+
+    # Big rects: classic shelf pack, tallest first.
+    y_cursor = up(y_cursor, 16)
+    shelves = []
+    for rh, rw, ti, mi in sorted(big, reverse=True):
         placed = False
         for shelf in shelves:
             x_pos = up(shelf[2], 128)

@@ -59,17 +59,22 @@ from tpurast.kernels.raster import CHUNK
 #   54     mip count
 #   55     constant 1.0 (selects into the per-pixel "matched" flag)
 #   56     texture id (exact small integer in f32)
-A_IN = 57
+#   57..72 page-rect base y per mip (texel (0,0) page row; pages.py)
+#   73..88 page-rect base x per mip
+A_IN = 89
 
 # G-buffer plane layout (A_OUT planes, per pixel):
 #   0..2 world | 3..5 normal | 6,7 u,v | 8 off0/256 | 9,10 tw0,th0
 #   11,12 tw1,th1 | 13 mip frac | 14,15 aniso major du,dv
 #   16 matched flag | 17 aniso probe span (shade.aniso_footprint)
-#   18 texture id | 19 mip level l0 | 20..23 pad
+#   18 texture id | 19 mip level l0
+#   20,21 own-mip page base (y, x) | 22,23 parent-mip page base (y, x)
 # (No off1: the parent-mip texels ride the own-mip atlas row,
 # device/textures.py, so only the parent DIMENSIONS are needed.
-# Planes 18/19 feed the windowed sampler's tile planning,
-# kernels/sampler.py.)
+# Planes 18/19 feed the windowed sampler's tile planning; 20..23 are
+# the page coordinates of texel (0,0) at the pixel's own/parent mips,
+# so the sampler's covering works in ONE page coordinate system across
+# every (texture, mip) — kernels/sampler.py.)
 A_OUT = 24
 MAX_MIPS = 16
 
@@ -83,6 +88,12 @@ def pack_resolve_attrs(setup, face_world, face_normal, face_uv, face_tex, atlas)
     offsets = atlas["offsets"]  # (T, 16) i32, 256-aligned
     sizes = atlas["sizes"]  # (T, 16, 2) i32
     n_mips = atlas["n_mips"]  # (T,) i32
+    if "page_origins" in atlas:
+        # Page base = texel (0,0) page coords = origin (which points at
+        # the ghost texel (-1,-1)) + 1, per mip (device/pages.py).
+        page_base = (atlas["page_origins"] + 1).astype(jnp.float32)  # (T, 16, 2)
+    else:
+        page_base = jnp.zeros((offsets.shape[0], MAX_MIPS, 2), jnp.float32)
     tex_cols = jnp.concatenate(
         [
             (offsets // 256).astype(jnp.float32),
@@ -92,6 +103,9 @@ def pack_resolve_attrs(setup, face_world, face_normal, face_uv, face_tex, atlas)
         ],
         axis=1,
     )[face_tex]  # (F, 19)
+    page_cols = jnp.concatenate(
+        [page_base[:, :, 0], page_base[:, :, 1]], axis=1
+    )[face_tex]  # (F, 32): base-y per mip, then base-x per mip
     return jnp.concatenate(
         [
             setup[:, 0:9],  # E
@@ -103,6 +117,7 @@ def pack_resolve_attrs(setup, face_world, face_normal, face_uv, face_tex, atlas)
             tex_cols,
             jnp.ones((f, 1), dtype=jnp.float32),
             face_tex.astype(jnp.float32)[:, None],
+            page_cols,
         ],
         axis=1,
     ).astype(jnp.float32)
@@ -227,12 +242,22 @@ def _resolve_kernel(
         off0 = jnp.zeros_like(l0)
         pow0 = jnp.zeros_like(l0)
         pow1 = jnp.zeros_like(l0)
+        oy0 = jnp.zeros_like(l0)
+        ox0 = jnp.zeros_like(l0)
+        oy1 = jnp.zeros_like(l0)
+        ox1 = jnp.zeros_like(l0)
         for mi in range(MAX_MIPS):
             lvl = jnp.float32(mi)
             pw = jnp.float32(2.0 ** (-mi))
-            off0 = off0 + jnp.where(l0 == lvl, s(36 + mi), 0.0)
-            pow0 = pow0 + jnp.where(l0 == lvl, pw, 0.0)
-            pow1 = pow1 + jnp.where(l1 == lvl, pw, 0.0)
+            m0 = l0 == lvl
+            m1 = l1 == lvl
+            off0 = off0 + jnp.where(m0, s(36 + mi), 0.0)
+            pow0 = pow0 + jnp.where(m0, pw, 0.0)
+            pow1 = pow1 + jnp.where(m1, pw, 0.0)
+            oy0 = oy0 + jnp.where(m0, s(57 + mi), 0.0)
+            ox0 = ox0 + jnp.where(m0, s(73 + mi), 0.0)
+            oy1 = oy1 + jnp.where(m1, s(57 + mi), 0.0)
+            ox1 = ox1 + jnp.where(m1, s(73 + mi), 0.0)
         tw0 = jnp.maximum(jnp.floor(w0 * pow0), 1.0)
         th0 = jnp.maximum(jnp.floor(h0 * pow0), 1.0)
         tw1 = jnp.maximum(jnp.floor(w0 * pow1), 1.0)
@@ -248,8 +273,9 @@ def _resolve_kernel(
                 tfrac, maj_du, maj_dv,
                 matched, span,
                 s(56), l0,
+                oy0, ox0, oy1, ox1,
             ]
-            + [jnp.zeros_like(matched)] * (A_OUT - 20),
+            + [jnp.zeros_like(matched)] * (A_OUT - 24),
             axis=0,
         )  # (A_OUT, th, tw)
         out_ref[...] = jnp.where(matched > 0.0, new, out_ref[...])

@@ -114,10 +114,6 @@ CLS_RESIDUAL = 3
 RC = 16
 YB = 48
 
-# Whole-rect thresholds: the rect (incl. ghost border) must fit one
-# window with its anchors inside the covered range.
-SMALL_W = COV_X - 2
-SMALL_H = COV_Y - 2
 
 
 def plan_tiles(
@@ -154,8 +150,6 @@ def plan_tiles(
         return x.reshape(tiles_y, 1, tiles_x, 1)
 
     matched = tiled(gbuf[16] > 0.0)
-    texid = tiled(gbuf[18])
-    l0 = tiled(gbuf[19])
     u = tiled(gbuf[6])
     v = tiled(gbuf[7])
     tw0 = tiled(gbuf[9])
@@ -195,81 +189,64 @@ def plan_tiles(
         hi = jnp.mod(jnp.floor((uu + dd) * ww - 0.5), jnp.maximum(ww, 1.0))
         return jnp.minimum(lo, hi), jnp.maximum(lo, hi)
 
+    # Anchor extremes in PAGE coordinates: wrapped texel coords + the
+    # pixel's own/parent page-rect base (resolve planes 20..23). One
+    # coordinate system across every (texture, mip) means a window
+    # absorbs ANY pixel whose range fits it — adjacent rects (small
+    # mips, neighboring chain levels) share windows for free, and the
+    # covering needs no per-key logic at all.
+    b_oy0, b_ox0 = tiled(gbuf[20]), tiled(gbuf[21])
+    b_oy1, b_ox1 = tiled(gbuf[22]), tiled(gbuf[23])
     xo_lo, xo_hi = anchor(u, tw0, du_ext)
     yo_lo, yo_hi = anchor(v, th0, dv_ext)
     xp_lo, xp_hi = anchor(u, tw1, du_ext)
     yp_lo, yp_hi = anchor(v, th1, dv_ext)
-
-    # Parent level per pixel: l1 = l0 + 1 except at the chain clamp
-    # (resolve computes l1 = min(l0+1, n_mips-1)), where BOTH parent
-    # dims equal the own dims.
-    l1 = jnp.where((tw1 == tw0) & (th1 == th0), l0, l0 + 1.0)
-
-    # Job keys (exact small ints in f32) and whole-rect eligibility.
-    key_o = texid * 16.0 + l0
-    key_p = texid * 16.0 + l1
-    small_o = (tw0 <= SMALL_W) & (th0 <= SMALL_H)
-    small_p = (tw1 <= SMALL_W) & (th1 <= SMALL_H)
+    xo_lo, xo_hi = xo_lo + b_ox0, xo_hi + b_ox0
+    yo_lo, yo_hi = yo_lo + b_oy0, yo_hi + b_oy0
+    xp_lo, xp_hi = xp_lo + b_ox1, xp_hi + b_ox1
+    yp_lo, yp_hi = yp_lo + b_oy1, yp_hi + b_oy1
 
     # ---- greedy banded covering: K rounds ---------------------------------
+    # Each round seeds a window at the topmost (then leftmost) uncovered
+    # anchor and absorbs every pixel role whose whole anchor range fits.
     todo_o = matched
     todo_p = matched
     assign_o = jnp.full((tiles_y, tile_h, tiles_x, tile_w), -1.0)
     assign_p = jnp.full((tiles_y, tile_h, tiles_x, tile_w), -1.0)
-    slot_used, slot_tex, slot_lvl = [], [], []
-    slot_rect, slot_ty, slot_tx = [], [], []
+    slot_used, slot_ty, slot_tx = [], [], []
+    # The kernel computes ONE coordinate set per (pixel, slot), own
+    # coords taking precedence — so a pixel may hold own AND parent
+    # roles in the same slot only where the coords coincide (the mip
+    # chain clamp, where resolve sets l1 = l0). Elsewhere a shared
+    # window defers the parent role to a later round.
+    share_ok = (tw1 == tw0) & (th1 == th0)
     for s in range(K):
-        cand = jnp.minimum(tmin(key_o, todo_o), tmin(key_p, todo_p))  # (T,)
-        got = cand < big * 0.5
-        kb = bt(jnp.where(got, cand, -1.0))
-        m_o = todo_o & (key_o == kb)
-        m_p = todo_p & (key_p == kb)
-        is_small = (
-            jnp.any(m_o & small_o, axis=(1, 3)) | jnp.any(m_p & small_p, axis=(1, 3))
-        ).reshape(-1)
-        # Band: top-left-most uncovered anchor opens the window.
-        ymin = jnp.minimum(tmin(yo_lo, m_o), tmin(yp_lo, m_p))
-        band_o = m_o & (yo_hi < bt(ymin) + COV_Y)
-        band_p = m_p & (yp_hi < bt(ymin) + COV_Y)
+        ymin = jnp.minimum(tmin(yo_lo, todo_o), tmin(yp_lo, todo_p))  # (T,)
+        got = ymin < big * 0.5
+        band_o = todo_o & (yo_hi < bt(ymin) + COV_Y)
+        band_p = todo_p & (yp_hi < bt(ymin) + COV_Y)
         xmin = jnp.minimum(tmin(xo_lo, band_o), tmin(xp_lo, band_p))
         win_o = band_o & (xo_hi < bt(xmin) + COV_X)
         win_p = band_p & (xp_hi < bt(xmin) + COV_X)
-        smallb = bt(jnp.where(is_small, 1.0, 0.0)) > 0.5
-        cov_o = jnp.where(smallb, m_o, win_o)
-        cov_p = jnp.where(smallb, m_p, win_p)
+        win_p = win_p & (~win_o | share_ok)
         sf = jnp.float32(s)
-        assign_o = jnp.where(cov_o, sf, assign_o)
-        assign_p = jnp.where(cov_p, sf, assign_p)
-        todo_o = todo_o & ~cov_o
-        todo_p = todo_p & ~cov_p
+        assign_o = jnp.where(win_o, sf, assign_o)
+        assign_p = jnp.where(win_p, sf, assign_p)
+        todo_o = todo_o & ~win_o
+        todo_p = todo_p & ~win_p
         slot_used.append(got)
-        slot_tex.append(jnp.floor(jnp.clip(cand, 0.0, None) / 16.0))
-        slot_lvl.append(jnp.clip(cand, 0.0, None) % 16.0)
-        slot_rect.append(is_small)
         slot_ty.append(jnp.where(got, ymin, 0.0))
         slot_tx.append(jnp.where(got, xmin, 0.0))
     leftover = jnp.any(todo_o | todo_p, axis=(1, 3)).reshape(-1)
     fits = covered & ~leftover
 
     used = jnp.stack(slot_used, axis=1)  # (T, K)
-    s_tex = jnp.clip(
-        jnp.stack(slot_tex, axis=1), 0.0, page_origins.shape[0] - 1
-    ).astype(jnp.int32)
-    s_lvl = jnp.clip(
-        jnp.stack(slot_lvl, axis=1), 0.0, page_origins.shape[1] - 1
-    ).astype(jnp.int32)
-    s_rect = jnp.stack(slot_rect, axis=1)  # (T, K) bool
-    s_ty = jnp.stack(slot_ty, axis=1)
+    s_ty = jnp.stack(slot_ty, axis=1)  # (T, K) page coords of the seed
     s_tx = jnp.stack(slot_tx, axis=1)
-    rect = page_origins[s_tex, s_lvl].astype(jnp.float32)  # (T, K, 2) oy, ox
-    oy_raw = rect[..., 0] + 1.0 + s_ty
-    ox_raw = rect[..., 1] + 1.0 + s_tx
-    dy = oy_raw % ALIGN_Y
-    dx = ox_raw % ALIGN_X
-    slot_oy = jnp.where(s_rect, rect[..., 0], oy_raw - dy)
-    slot_ox = jnp.where(s_rect, rect[..., 1], ox_raw - dx)
-    slot_tyo = jnp.where(s_rect, -1.0, s_ty - dy)
-    slot_txo = jnp.where(s_rect, -1.0, s_tx - dx)
+    # Window origin: seed anchor aligned DOWN to the DMA slice grid (the
+    # COV_* coverage bounds already pay for the worst alignment slack).
+    slot_oy = s_ty - s_ty % ALIGN_Y
+    slot_ox = s_tx - s_tx % ALIGN_X
     n_used = jnp.sum(used, axis=1).astype(jnp.int32)
 
     cls = jnp.where(
@@ -307,16 +284,16 @@ def plan_tiles(
     yol_c, yoh_c = chunked(yo_lo), chunked(yo_hi)
     ypl_c, yph_c = chunked(yp_lo), chunked(yp_hi)
     c_used, c_jid, c_b0, c_nb = [], [], [], []
-    tyo_tk = slot_tyo.reshape(tiles_y, tiles_x, K)
+    oy_tk = slot_oy.reshape(tiles_y, tiles_x, K)
     for j in range(K):
         own_j = ao_c == float(j)
         par_j = ap_c == float(j)
         use_j = jnp.any(own_j | par_j, axis=(2, 4))  # (ty, NC, tx)
         lo = jnp.minimum(cmin(yol_c, own_j), cmin(ypl_c, par_j))
         hi = jnp.maximum(cmax(yoh_c, own_j), cmax(yph_c, par_j))
-        tyo_j = tyo_tk[:, :, j].astype(jnp.float32)  # (ty, tx)
-        rel_lo = lo - tyo_j[:, None, :]
-        rel_hi = hi - tyo_j[:, None, :] + 1.0  # +1 bilinear row neighbor
+        oy_j = oy_tk[:, :, j].astype(jnp.float32)  # (ty, tx) page coords
+        rel_lo = lo - oy_j[:, None, :]
+        rel_hi = hi - oy_j[:, None, :] + 1.0  # +1 bilinear row neighbor
         b0 = jnp.clip(jnp.floor(rel_lo / ALIGN_Y) * ALIGN_Y, 0.0, WH - YB)
         fits1 = rel_hi < b0 + YB
         c_used.append(use_j)
@@ -356,8 +333,6 @@ def plan_tiles(
         "n_used": n_used,
         "slot_oy": flat_i32(slot_oy),
         "slot_ox": flat_i32(slot_ox),
-        "slot_tyo": flat_i32(slot_tyo),
-        "slot_txo": flat_i32(slot_txo),
         "chunk_cnt": chunk_flat(chunk_cnt),
         "chunk_jid": chunk_flat(p_jid),
         "chunk_b0": chunk_flat(p_b0),
@@ -417,10 +392,8 @@ def _sampler_kernel(
     cls_ref,  # (T,) i32
     nprobe_ref,  # (T,) i32
     n_used_ref,  # (T,) i32
-    oy_ref,  # (T*K,) i32
+    oy_ref,  # (T*K,) i32 window page origin (DMA-aligned)
     ox_ref,
-    tyo_ref,
-    txo_ref,
     cnt_ref,  # (T*NC,) i32 used-slot count per pixel chunk
     jid_ref,  # (T*NC*K,) i32 dense used-slot ids per chunk
     b0_ref,  # (T*NC*K,) i32 selection band start row
@@ -514,6 +487,8 @@ def _sampler_kernel(
             tfrac = g[13, rows, :]
             maj_du, maj_dv = g[14, rows, :], g[15, rows, :]
             span = g[17, rows, :]
+            b_oy0, b_ox0 = g[20, rows, :], g[21, rows, :]
+            b_oy1, b_ox1 = g[22, rows, :], g[23, rows, :]
             assign_o = assign_ref[0, rows, :]
             assign_p = assign_ref[1, rows, :]
             cbase = t * nc + ci
@@ -529,16 +504,20 @@ def _sampler_kernel(
                     e = cbase * K + k
                     j = jid_ref[e]
                     jf = j.astype(jnp.float32)
-                    tyo_j = tyo_ref[t * K + j].astype(jnp.float32)
-                    txo_j = txo_ref[t * K + j].astype(jnp.float32)
+                    oy_j = oy_ref[t * K + j].astype(jnp.float32)
+                    ox_j = ox_ref[t * K + j].astype(jnp.float32)
                     own_j = assign_o == jf
                     par_j = assign_p == jf
                     m = own_j | par_j
                     # Own-level coords where this slot is the pixel's
                     # l0, else parent coords (roles coincide at the mip
                     # chain clamp, where the coords are equal anyway).
+                    # Wrapped texel coords + the level's page base give
+                    # PAGE coords; window coords = page - window origin.
                     ww_sel = jnp.where(own_j, tw0, tw1)
                     hh_sel = jnp.where(own_j, th0, th1)
+                    bx_sel = jnp.where(own_j, b_ox0, b_ox1)
+                    by_sel = jnp.where(own_j, b_oy0, b_oy1)
                     x = up * ww_sel - 0.5
                     yy = vp * hh_sel - 0.5
                     x0 = jnp.floor(x)
@@ -547,8 +526,8 @@ def _sampler_kernel(
                     fy = yy - y0
                     x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
                     y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
-                    xsel = jnp.where(m, x0w - txo_j + fx, -2.0)
-                    ysel = jnp.where(m, y0w - tyo_j + fy, -2.0)
+                    xsel = jnp.where(m, x0w + bx_sel - ox_j + fx, -2.0)
+                    ysel = jnp.where(m, y0w + by_sel - oy_j + fy, -2.0)
                     planes = _bilinear_chunk(
                         win, j, b0_ref[e], nb_ref[e], xsel, ysel, wdtype, ix
                     )
@@ -635,7 +614,7 @@ def sample_tiles(
         blend=blend,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=11,
+        num_scalar_prefetch=9,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(
@@ -675,8 +654,6 @@ def sample_tiles(
         plan["n_used"],
         plan["slot_oy"],
         plan["slot_ox"],
-        plan["slot_tyo"],
-        plan["slot_txo"],
         plan["chunk_cnt"],
         plan["chunk_jid"],
         plan["chunk_b0"],
