@@ -26,8 +26,10 @@ cache EXPLICIT:
      index): assignment decisions are made ONCE in XLA and shipped to
      the kernel, so plan and kernel can never disagree about which
      window serves a pixel (the arithmetic is not re-derived under a
-     different compiler). Tiles needing more than K windows fall back
-     to the gather path (counted as window_miss_px).
+     different compiler). Tiles needing more than K2 windows fall back
+     to the gather path (counted as window_miss_px); tiles needing
+     more than K (but <= K2) run a second kernel wave that re-DMAs
+     slots [K, K2) into the same VMEM scratch.
   2. SAMPLE (Pallas, sample_tiles): per tile, DMA the planned windows
      from the texture page (device/pages.py) into VMEM — a DYNAMIC
      trip-count loop runs only the windows the tile actually uses —
@@ -95,7 +97,13 @@ ALIGN_X = 128
 # margin absorbs any cross-compiler f32 rounding at floor boundaries).
 WH = 96
 WW = 384
-K = 16  # window slots per tile
+K = 16  # RESIDENT window slots (one VMEM wave)
+# Total plan slots per tile: tiles needing more than K windows run a
+# second kernel wave that re-DMAs slots [K, K2) into the same scratch —
+# scattered-UV-island tiles (the porsche car body wants 15-24 windows)
+# stay on the windowed path instead of falling back to per-pixel
+# gathers. Only tiles with n_used > K pay the second wave.
+K2 = 32
 COV_Y = WH - ALIGN_Y - 1  # 87
 COV_X = WW - ALIGN_X - 1  # 255
 
@@ -220,7 +228,7 @@ def plan_tiles(
     # chain clamp, where resolve sets l1 = l0). Elsewhere a shared
     # window defers the parent role to a later round.
     share_ok = (tw1 == tw0) & (th1 == th0)
-    for s in range(K):
+    for s in range(K2):
         ymin = jnp.minimum(tmin(yo_lo, todo_o), tmin(yp_lo, todo_p))  # (T,)
         got = ymin < big * 0.5
         band_o = todo_o & (yo_hi < bt(ymin) + COV_Y)
@@ -284,8 +292,8 @@ def plan_tiles(
     yol_c, yoh_c = chunked(yo_lo), chunked(yo_hi)
     ypl_c, yph_c = chunked(yp_lo), chunked(yp_hi)
     c_used, c_jid, c_b0, c_nb = [], [], [], []
-    oy_tk = slot_oy.reshape(tiles_y, tiles_x, K)
-    for j in range(K):
+    oy_tk = slot_oy.reshape(tiles_y, tiles_x, K2)
+    for j in range(K2):
         own_j = ao_c == float(j)
         par_j = ap_c == float(j)
         use_j = jnp.any(own_j | par_j, axis=(2, 4))  # (ty, NC, tx)
@@ -300,16 +308,19 @@ def plan_tiles(
         c_jid.append(jnp.full_like(use_j, j, dtype=jnp.int32))
         c_b0.append(jnp.where(fits1, b0, 0.0).astype(jnp.int32))
         c_nb.append(jnp.where(fits1, 1, WH // YB).astype(jnp.int32))
-    cu = jnp.stack(c_used, axis=-1)  # (ty, NC, tx, K)
+    cu = jnp.stack(c_used, axis=-1)  # (ty, NC, tx, K2)
     cjid = jnp.stack(c_jid, axis=-1)
     cb0 = jnp.stack(c_b0, axis=-1)
     cnb = jnp.stack(c_nb, axis=-1)
-    # Pack used slots densely (ascending j) via one tiny sort along K.
-    sort_key = jnp.where(cu, cjid, K).astype(jnp.int32)
+    # Pack used slots densely (ascending j) via one tiny sort along K2.
+    sort_key = jnp.where(cu, cjid, K2).astype(jnp.int32)
     _, p_jid, p_b0, p_nb = jax.lax.sort(
         (sort_key, cjid, cb0, cnb), num_keys=1
     )
     chunk_cnt = jnp.sum(cu, axis=-1).astype(jnp.int32)  # (ty, NC, tx)
+    # Slots below K are wave-0 (resident); the ascending pack puts them
+    # first, so the kernel's wave split is just this count.
+    chunk_cnt0 = jnp.sum(cu & (cjid < K), axis=-1).astype(jnp.int32)
 
     def chunk_flat(x):  # (ty, NC, tx, ...) -> (T * NC * ...), tile-major
         return jnp.swapaxes(x, 1, 2).reshape(-1).astype(jnp.int32)
@@ -334,6 +345,7 @@ def plan_tiles(
         "slot_oy": flat_i32(slot_oy),
         "slot_ox": flat_i32(slot_ox),
         "chunk_cnt": chunk_flat(chunk_cnt),
+        "chunk_cnt0": chunk_flat(chunk_cnt0),
         "chunk_jid": chunk_flat(p_jid),
         "chunk_b0": chunk_flat(p_b0),
         "chunk_nb": chunk_flat(p_nb),
@@ -392,12 +404,13 @@ def _sampler_kernel(
     cls_ref,  # (T,) i32
     nprobe_ref,  # (T,) i32
     n_used_ref,  # (T,) i32
-    oy_ref,  # (T*K,) i32 window page origin (DMA-aligned)
+    oy_ref,  # (T*K2,) i32 window page origin (DMA-aligned)
     ox_ref,
     cnt_ref,  # (T*NC,) i32 used-slot count per pixel chunk
-    jid_ref,  # (T*NC*K,) i32 dense used-slot ids per chunk
-    b0_ref,  # (T*NC*K,) i32 selection band start row
-    nb_ref,  # (T*NC*K,) i32 selection band count
+    cnt0_ref,  # (T*NC,) i32 count of wave-0 slots (jid < K) per chunk
+    jid_ref,  # (T*NC*K2,) i32 dense used-slot ids per chunk (ascending)
+    b0_ref,  # (T*NC*K2,) i32 selection band start row
+    nb_ref,  # (T*NC*K2,) i32 selection band count
     # inputs
     gbuf_ref,  # VMEM (A_OUT, th, tw)
     assign_ref,  # VMEM (2, th, tw) f32 own/parent slot index
@@ -406,8 +419,8 @@ def _sampler_kernel(
     # output
     out_ref,  # VMEM (4, th, tw) linear color
     # scratch
-    win,  # VMEM (K, 4, WH, WW)
-    sacc,
+    win,  # VMEM (K, 4, WH, WW) — resident slots of the CURRENT wave
+    sacc,  # VMEM (8, th, tw) f32 own/parent probe sums
     sem,  # DMA sem (K,)
     *,
     tile_h: int,
@@ -447,29 +460,6 @@ def _sampler_kernel(
     @pl.when(cls == CLS_WINDOWED)
     def _windowed():
         n = n_used_ref[t]
-
-        def dma_start(j, _):
-            oy = pl.multiple_of(oy_ref[t * K + j], ALIGN_Y)
-            ox = pl.multiple_of(ox_ref[t * K + j], ALIGN_X)
-            pltpu.make_async_copy(
-                page_ref.at[:, pl.ds(oy, WH), pl.ds(ox, WW)],
-                win.at[j],
-                sem.at[j],
-            ).start()
-            return 0
-
-        jax.lax.fori_loop(0, n, dma_start, 0)
-
-        def dma_wait(j, _):
-            pltpu.make_async_copy(
-                page_ref.at[:, pl.ds(0, WH), pl.ds(0, WW)],
-                win.at[j],
-                sem.at[j],
-            ).wait()
-            return 0
-
-        jax.lax.fori_loop(0, n, dma_wait, 0)
-
         g = gbuf_ref
         np_t = nprobe_ref[t]
         npf = np_t.astype(jnp.float32)
@@ -478,88 +468,136 @@ def _sampler_kernel(
             jnp.int32, (RC, WW, tile_w), 1
         ).astype(jnp.float32)
 
-        def chunk_body(ci, _):
-            r0 = pl.multiple_of(ci * RC, RC)
-            rows = pl.ds(r0, RC)
-            u, v = g[6, rows, :], g[7, rows, :]
-            tw0, th0 = g[9, rows, :], g[10, rows, :]
-            tw1, th1 = g[11, rows, :], g[12, rows, :]
-            tfrac = g[13, rows, :]
-            maj_du, maj_dv = g[14, rows, :], g[15, rows, :]
-            span = g[17, rows, :]
-            b_oy0, b_ox0 = g[20, rows, :], g[21, rows, :]
-            b_oy1, b_ox1 = g[22, rows, :], g[23, rows, :]
-            assign_o = assign_ref[0, rows, :]
-            assign_p = assign_ref[1, rows, :]
-            cbase = t * nc + ci
+        for c in range(8):
+            sacc[c] = jnp.zeros((tile_h, tile_w), jnp.float32)
 
-            def probe_body(i, acc):
-                fo = ((i.astype(jnp.float32) + 0.5) / npf - 0.5) * span
-                up = u + maj_du * fo
-                vp = v + maj_dv * fo
+        def wave_pass(wave: int):
+            # Slots [wave*K, min(n, wave*K + K)) resident this wave.
+            j_lo = wave * K
 
-                def slot_body(k, sacc8):
-                    # The plan's dense used-slot list: the loop trip
-                    # count is EXACTLY the slots this chunk references.
-                    e = cbase * K + k
-                    j = jid_ref[e]
-                    jf = j.astype(jnp.float32)
-                    oy_j = oy_ref[t * K + j].astype(jnp.float32)
-                    ox_j = ox_ref[t * K + j].astype(jnp.float32)
-                    own_j = assign_o == jf
-                    par_j = assign_p == jf
-                    m = own_j | par_j
-                    # Own-level coords where this slot is the pixel's
-                    # l0, else parent coords (roles coincide at the mip
-                    # chain clamp, where the coords are equal anyway).
-                    # Wrapped texel coords + the level's page base give
-                    # PAGE coords; window coords = page - window origin.
-                    ww_sel = jnp.where(own_j, tw0, tw1)
-                    hh_sel = jnp.where(own_j, th0, th1)
-                    bx_sel = jnp.where(own_j, b_ox0, b_ox1)
-                    by_sel = jnp.where(own_j, b_oy0, b_oy1)
-                    x = up * ww_sel - 0.5
-                    yy = vp * hh_sel - 0.5
-                    x0 = jnp.floor(x)
-                    y0 = jnp.floor(yy)
-                    fx = x - x0
-                    fy = yy - y0
-                    x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
-                    y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
-                    xsel = jnp.where(m, x0w + bx_sel - ox_j + fx, -2.0)
-                    ysel = jnp.where(m, y0w + by_sel - oy_j + fy, -2.0)
-                    planes = _bilinear_chunk(
-                        win, j, b0_ref[e], nb_ref[e], xsel, ysel, wdtype, ix
-                    )
-                    out = []
-                    for c in range(4):
-                        out.append(sacc8[c] + jnp.where(own_j, planes[c], 0.0))
-                    for c in range(4):
-                        out.append(
-                            sacc8[4 + c] + jnp.where(par_j, planes[c], 0.0)
+            def dma_start(j, _):
+                oy = pl.multiple_of(oy_ref[t * K2 + j], ALIGN_Y)
+                ox = pl.multiple_of(ox_ref[t * K2 + j], ALIGN_X)
+                pltpu.make_async_copy(
+                    page_ref.at[:, pl.ds(oy, WH), pl.ds(ox, WW)],
+                    win.at[j - j_lo],
+                    sem.at[j - j_lo],
+                ).start()
+                return 0
+
+            j_hi = jnp.minimum(n, j_lo + K)
+            jax.lax.fori_loop(j_lo, j_hi, dma_start, 0)
+
+            def dma_wait(j, _):
+                pltpu.make_async_copy(
+                    page_ref.at[:, pl.ds(0, WH), pl.ds(0, WW)],
+                    win.at[j - j_lo],
+                    sem.at[j - j_lo],
+                ).wait()
+                return 0
+
+            jax.lax.fori_loop(j_lo, j_hi, dma_wait, 0)
+
+            def chunk_body(ci, _):
+                r0 = pl.multiple_of(ci * RC, RC)
+                rows = pl.ds(r0, RC)
+                u, v = g[6, rows, :], g[7, rows, :]
+                tw0, th0 = g[9, rows, :], g[10, rows, :]
+                tw1, th1 = g[11, rows, :], g[12, rows, :]
+                maj_du, maj_dv = g[14, rows, :], g[15, rows, :]
+                span = g[17, rows, :]
+                b_oy0, b_ox0 = g[20, rows, :], g[21, rows, :]
+                b_oy1, b_ox1 = g[22, rows, :], g[23, rows, :]
+                assign_o = assign_ref[0, rows, :]
+                assign_p = assign_ref[1, rows, :]
+                cbase = t * nc + ci
+                # This wave's span of the chunk's ascending slot list.
+                k_lo = jnp.int32(0) if wave == 0 else cnt0_ref[cbase]
+                k_hi = cnt0_ref[cbase] if wave == 0 else cnt_ref[cbase]
+
+                def probe_body(i, acc):
+                    fo = ((i.astype(jnp.float32) + 0.5) / npf - 0.5) * span
+                    up = u + maj_du * fo
+                    vp = v + maj_dv * fo
+
+                    def slot_body(k, sacc8):
+                        # The plan's dense used-slot list: the loop trip
+                        # count is EXACTLY the slots this chunk references.
+                        e = cbase * K2 + k
+                        j = jid_ref[e]
+                        jf = j.astype(jnp.float32)
+                        oy_j = oy_ref[t * K2 + j].astype(jnp.float32)
+                        ox_j = ox_ref[t * K2 + j].astype(jnp.float32)
+                        own_j = assign_o == jf
+                        par_j = assign_p == jf
+                        m = own_j | par_j
+                        # Own-level coords where this slot is the pixel's
+                        # l0, else parent coords (roles coincide at the mip
+                        # chain clamp, where the coords are equal anyway).
+                        # Wrapped texel coords + the level's page base give
+                        # PAGE coords; window coords = page - window origin.
+                        ww_sel = jnp.where(own_j, tw0, tw1)
+                        hh_sel = jnp.where(own_j, th0, th1)
+                        bx_sel = jnp.where(own_j, b_ox0, b_ox1)
+                        by_sel = jnp.where(own_j, b_oy0, b_oy1)
+                        x = up * ww_sel - 0.5
+                        yy = vp * hh_sel - 0.5
+                        x0 = jnp.floor(x)
+                        y0 = jnp.floor(yy)
+                        fx = x - x0
+                        fy = yy - y0
+                        x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
+                        y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
+                        xsel = jnp.where(m, x0w + bx_sel - ox_j + fx, -2.0)
+                        ysel = jnp.where(m, y0w + by_sel - oy_j + fy, -2.0)
+                        planes = _bilinear_chunk(
+                            win,
+                            j - j_lo,
+                            b0_ref[e],
+                            nb_ref[e],
+                            xsel,
+                            ysel,
+                            wdtype,
+                            ix,
                         )
-                    return out
+                        out = []
+                        for c in range(4):
+                            out.append(
+                                sacc8[c] + jnp.where(own_j, planes[c], 0.0)
+                            )
+                        for c in range(4):
+                            out.append(
+                                sacc8[4 + c] + jnp.where(par_j, planes[c], 0.0)
+                            )
+                        return out
+
+                    return jax.lax.fori_loop(k_lo, k_hi, slot_body, acc)
 
                 zero8 = [jnp.zeros((RC, tile_w), jnp.float32)] * 8
-                oa_pa = jax.lax.fori_loop(0, cnt_ref[cbase], slot_body, zero8)
-                t_i = 1.0 - tfrac
-                return [
-                    a + (o * t_i + p * tfrac)
-                    for a, o, p in zip(acc, oa_pa[:4], oa_pa[4:])
-                ]
+                if max_anisotropy > 1:
+                    acc8 = jax.lax.fori_loop(0, np_t, probe_body, zero8)
+                else:
+                    acc8 = probe_body(jnp.int32(0), zero8)
+                for c in range(8):
+                    sacc[c, rows, :] += acc8[c]
+                return 0
 
-            zero = [jnp.zeros((RC, tile_w), jnp.float32)] * 4
-            if max_anisotropy > 1:
-                alb = jax.lax.fori_loop(0, np_t, probe_body, zero)
-                alb = [a / npf for a in alb]
-            else:
-                alb = probe_body(jnp.int32(0), zero)
-            for c in range(4):
-                sacc[c, rows, :] = alb[c]
-            return 0
+            jax.lax.fori_loop(0, nc, chunk_body, 0)
 
-        jax.lax.fori_loop(0, nc, chunk_body, 0)
-        shade_out([sacc[0], sacc[1], sacc[2], sacc[3]])
+        wave_pass(0)
+
+        @pl.when(n > K)
+        def _second_wave():
+            wave_pass(1)
+
+        # Mip blend + probe normalization, once per tile: the per-probe
+        # own/parent sums are linear in the probes, so
+        #   sum_p (own_p*(1-tf) + par_p*tf)/np == ((1-tf)*Sown + tf*Spar)/np.
+        tfrac = g[13]
+        t_i = 1.0 - tfrac
+        shade_out(
+            [(sacc[c] * t_i + sacc[4 + c] * tfrac) / npf for c in range(4)]
+        )
 
     @pl.when(cls >= CLS_EMPTY)
     def _other():
@@ -614,7 +652,7 @@ def sample_tiles(
         blend=blend,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=10,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(
@@ -639,7 +677,7 @@ def sample_tiles(
         ],
         scratch_shapes=[
             pltpu.VMEM((K, 4, WH, WW), page.dtype),
-            pltpu.VMEM((4, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((8, tile_h, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((K,)),
         ],
     )
@@ -655,6 +693,7 @@ def sample_tiles(
         plan["slot_oy"],
         plan["slot_ox"],
         plan["chunk_cnt"],
+        plan["chunk_cnt0"],
         plan["chunk_jid"],
         plan["chunk_b0"],
         plan["chunk_nb"],
