@@ -83,9 +83,11 @@ class RendererConfig:
 
     # Texture sampling anisotropy: ratio-clamped probes along the
     # major-axis gradient, implemented in both shading paths
-    # (kernels/shade.aniso_footprint). The reference sampler always
-    # requests maxAnisotropy 16 (src/Renderer.zig:515).
-    max_anisotropy: int = 1
+    # (kernels/shade.aniso_footprint) and the windowed sampler
+    # (kernels/sampler.py, per-tile dynamic probe counts). Default 16
+    # matches the reference sampler, which always requests
+    # maxAnisotropy 16 (src/Renderer.zig:515).
+    max_anisotropy: int = 16
     # Framebuffer blend state (src/Renderer.zig:447-458): "alpha" is the
     # reference's srcAlpha/oneMinusSrcAlpha+add color blend with zero/one
     # alpha blend; "opaque" bypasses the blend equation.

@@ -6,62 +6,63 @@ depending on table footprint. At 1080p that is 2M rows/frame, and on
 scenes with multi-GB texture residency (the porsche class) the frame is
 texture-gather bound at >100 ms. A GPU hides the same access pattern
 behind its texture caches; the TPU equivalent built here makes the
-cache EXPLICIT:
+cache EXPLICIT, and BOTH halves run as Pallas kernels over the tile
+grid so no stage touches full-frame HBM planes more than once:
 
-  1. PLAN (XLA, plan_tiles): per framebuffer tile, reduce the G-buffer
-     (kernels/resolve.py planes) to up to K sampling slots, each one
-     fixed-shape (WH, WW) texel window of some (texture, mip) rect,
-     placed by GREEDY BANDED COVERING: each round seeds at the
-     top-left-most uncovered anchor of the lowest uncovered (tex, mip)
-     key, opens a window band there, and absorbs every pixel whose
-     whole anchor range (bilinear + anisotropy-probe extremes) fits
-     the window. Mips whose entire rect fits one window are covered
-     whole — one window serves any number of UV islands and wrap
-     seams. Fragmented atlases cost extra windows only when a tile's
-     footprint is genuinely scattered; rotated mappings split across
-     y-bands whose x origin tracks the strip. Mip LOD selection keeps
-     texels:pixel in [1, 2) at the own level and <= 1 at the parent,
-     so footprints are ~tile-sized per level.
-     The plan emits per-pixel ASSIGNMENT PLANES (own/parent slot
-     index): assignment decisions are made ONCE in XLA and shipped to
-     the kernel, so plan and kernel can never disagree about which
-     window serves a pixel (the arithmetic is not re-derived under a
-     different compiler). Tiles needing more than K2 windows fall back
-     to the gather path (counted as window_miss_px); tiles needing
-     more than K (but <= K2) run a second kernel wave that re-DMAs
-     slots [K, K2) into the same VMEM scratch.
-  2. SAMPLE (Pallas, sample_tiles): per tile, DMA the planned windows
-     from the texture page (device/pages.py) into VMEM — a DYNAMIC
+  1. PLAN (_plan_kernel): per framebuffer tile, reduce the G-buffer
+     (kernels/resolve.py planes) to up to K2 sampling slots, each one
+     fixed-shape (WH, WW) texel window of the texture page, placed by
+     GREEDY BANDED COVERING: each round seeds at the top-left-most
+     uncovered anchor (page coordinates — one coordinate system across
+     every (texture, mip)), opens a window band there, and absorbs
+     every pixel whose whole anchor range (bilinear + per-pixel
+     anisotropy-probe extremes) fits the window. The loop runs a
+     DYNAMIC number of rounds — exactly the tile's slot count (most
+     tiles need 1-3; the old XLA formulation paid 32 static rounds of
+     full-frame reductions, ~13 ms at 1080p; in-kernel the planes stay
+     in VMEM and covered tiles stop early). The kernel also emits
+     per-pixel ASSIGNMENT PLANES (own/parent slot index) — assignment
+     decisions are made ONCE and shipped to the sampling kernel — and
+     per-(chunk, slot) SELECTION BANDS: a y-band [b0, b0+nyb*YB) and
+     an x-band [xb0*XB, (xb0+nxb)*XB) of the window that contain every
+     texel the chunk references, so the sampling contraction reads a
+     (YB, XB) sub-window instead of (WH, WW). Tiles needing more than
+     K2 windows fall back to the gather path (counted as
+     window_miss_px); tiles needing more than K (but <= K2) run a
+     second kernel wave that re-DMAs slots [K, K2) into VMEM.
+  2. SAMPLE (_sampler_kernel): per tile, DMA the planned windows from
+     the texture page (device/pages.py) into VMEM — a DYNAMIC
      trip-count loop runs only the windows the tile actually uses —
      then select + bilinear-filter texels with tent-weight one-hot MXU
      contractions:
 
-       weights C[r, i, c] = max(0, 1 - |i - x(r, c)|)   (RC, WW, tw)
+       weights C[r, i, c] = max(0, 1 - |i - x(r, c)|)   (RC, XB, tw)
 
      nonzero exactly at the two bilinear x-neighbors with exactly the
      bilinear weights, so one batched matmul  B = T . C  x-filters
-     every pixel row against the window; a tent over the band rows
-     y-filters on the VPU. The contraction cost is 4*rows*WW MACs per
-     pixel, so the kernel walks RC-row pixel chunks and, per chunk,
-     runs EXACTLY the slots that chunk references (the plan packs a
-     dense per-chunk slot list) against ONLY a YB-row band of the
-     window the plan proves sufficient — ~n_used*WH/YB fewer MACs
-     than filtering every chunk against every slot's full window.
-     Per-pixel HBM gathers are gone: texel traffic is the window DMA
-     (O(tile footprint), contiguous), and selection runs at MXU rate.
+     every pixel row against the slot's x-band; a tent over the band
+     rows y-filters on the VPU. The kernel walks RC-row pixel chunks
+     and runs, per chunk, only the slots whose plan word is live, over
+     only the planned (YB, XB) bands — the dominant costs (tent-weight
+     construction on the VPU and the contraction on the MXU) scale
+     with the chunk's true footprint. Per-pixel HBM gathers are gone:
+     texel traffic is the window DMA (O(tile footprint), contiguous),
+     and selection runs at MXU rate.
   3. The basic.frag lighting + blend (kernels/shade.py formulas) run
      in-kernel on the G-buffer planes, so the kernel emits final
      linear framebuffer tiles and the XLA shading tail disappears.
 
 Anisotropy (the reference sampler's maxAnisotropy 16,
-src/Renderer.zig:515) loops trilinear probes along the major-gradient
-axis INSIDE the kernel with a per-tile dynamic trip count = the tile's
-worst ceil(anisotropy ratio): isotropic tiles pay one probe, grazing
-tiles pay up to maxAnisotropy — data-dependent work with static
-shapes, where the gather path pays max_anisotropy probes per pixel.
-Probe anchors stay inside the assigned window because the plan's
-coverage test uses the probe-extreme anchor range (with a 1-texel
-safety margin against cross-compiler f32 rounding).
+src/Renderer.zig:515) uses PER-PIXEL probe counts (shade.probe_count:
+ceil of the pixel's anisotropy ratio): the probe loop's trip count is
+the chunk's worst count, probe i only accumulates into pixels whose
+own count needs it, and positions/normalization use the pixel's own
+count — so isotropic chunks pay one probe and only grazing chunks loop,
+with identical quadrature to the gather path's masked static loop.
+Probe anchors stay inside the assigned window and bands because the
+plan's coverage test uses the same per-pixel probe-extreme anchor
+range (with a 1-texel safety margin); plan and sample recompute the
+count with the same expression under the same compiler.
 
 Numerics: pages store linear texels bf16 (2^-9 relative, under half a
 u8 LSB through the shading chain; BASELINE budget is 1 LSB/channel);
@@ -92,9 +93,10 @@ ALIGN_X = 128
 
 # Uniform window shape (rows, cols) and slot budget. COV_* is the
 # anchor range one window covers after worst-case alignment slack, the
-# +1 bilinear neighbor, and a 1-texel safety margin (plan coverage is
-# decided in XLA, per-probe anchors are recomputed under Mosaic — the
-# margin absorbs any cross-compiler f32 rounding at floor boundaries).
+# +1 bilinear neighbor, and a 1-texel safety margin (coverage is
+# decided in the plan kernel, per-probe anchors are recomputed in the
+# sampling kernel — the margin absorbs f32 rounding at floor
+# boundaries).
 WH = 96
 WW = 384
 K = 16  # RESIDENT window slots (one VMEM wave)
@@ -111,23 +113,256 @@ CLS_WINDOWED = 0
 CLS_EMPTY = 2
 CLS_RESIDUAL = 3
 
-# Kernel blocking: pixel rows per chunk (sublane-sized) and window rows
-# per selection band. The x-filter contraction costs 4*rows*WW MACs per
-# pixel, so contracting a YB-row band the plan proves sufficient —
-# instead of all WH rows — cuts the dominant matmul 3x; chunks whose
-# span can't fit one band (wrapped small-rect seams, extreme aniso
-# spreads) run WH//YB disjoint bands, which sums to the identical
-# result (tent weights are evaluated against absolute window rows, so
-# rows outside a pixel's 2-row support contribute exact zeros).
+# Kernel blocking: pixel rows per chunk (sublane-sized), window rows
+# per y selection band, window cols per x selection band. The x-filter
+# contraction costs 4*YB*XB MACs per output (RC*tw) column — banding
+# both axes to the chunk's planned footprint (instead of the whole
+# (WH, WW) window) cuts the dominant matmul and its VPU tent-weight
+# construction ~6x. Chunks whose span can't fit one band run the exact
+# number of disjoint bands that cover it, which sums to the identical
+# result (tent weights are evaluated against absolute window
+# coordinates, so texels outside a pixel's 2-tap support contribute
+# exact zeros).
 RC = 16
 YB = 48
+XB = 128
+NXB = WW // XB
 
+# Per-(chunk, slot) plan word (lane j of the chunk row):
+#   bit 0      live (chunk references slot j)
+#   bits 1-8   b0   — y-band start row (ALIGN_Y-aligned, <= WH - YB)
+#   bits 9-11  nyb  — y-band count (1..WH//YB)
+#   bits 12-13 xb0  — x-band start index (0..NXB-1)
+#   bits 14-15 nxb  — x-band count (1..NXB)
+# Lane CHUNK_NP_LANE of the chunk row: the chunk's worst per-pixel
+# probe count (probe-loop trip count).
+CHUNK_NP_LANE = 120
+
+
+def _probe_extent_anchors(g, max_anisotropy: int):
+    """Per-pixel page-coordinate anchor ranges (bilinear + probe
+    extremes) and the per-pixel probe count, from G-buffer planes.
+    Shared shape of the plan kernel's coverage test; all ops are plain
+    VPU elementwise so plan and sample agree under one compiler."""
+    u, v = g[6], g[7]
+    tw0, th0, tw1, th1 = g[9], g[10], g[11], g[12]
+    span = g[17]
+    if max_anisotropy > 1:
+        n_px = _shade.probe_count(span, max_anisotropy)
+    else:
+        n_px = jnp.ones_like(span)
+    fo_ext = (0.5 - 0.5 / n_px) * span
+    du_ext = jnp.abs(g[14]) * fo_ext
+    dv_ext = jnp.abs(g[15]) * fo_ext
+
+    def anchor(uu, ww, dd):
+        lo = jnp.mod(jnp.floor((uu - dd) * ww - 0.5), jnp.maximum(ww, 1.0))
+        hi = jnp.mod(jnp.floor((uu + dd) * ww - 0.5), jnp.maximum(ww, 1.0))
+        return jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+
+    xo_lo, xo_hi = anchor(u, tw0, du_ext)
+    yo_lo, yo_hi = anchor(v, th0, dv_ext)
+    xp_lo, xp_hi = anchor(u, tw1, du_ext)
+    yp_lo, yp_hi = anchor(v, th1, dv_ext)
+    own = (
+        yo_lo + g[20], yo_hi + g[20], xo_lo + g[21], xo_hi + g[21],
+    )
+    par = (
+        yp_lo + g[22], yp_hi + g[22], xp_lo + g[23], xp_hi + g[23],
+    )
+    return own, par, n_px
+
+
+def _plan_kernel(
+    # inputs
+    gbuf_ref,  # VMEM (A_OUT, th, tw)
+    # outputs
+    table_ref,  # VMEM (1, 8, 128) i32: row 0 = meta ([0]=cls [1]=n_used
+    #            [32+k]=oy [64+k]=ox), rows 1..NC = chunk plan rows
+    #            (lane j = plan word, lane CHUNK_NP_LANE = probe count)
+    assign_ref,  # VMEM (2, th, tw) f32 own/parent slot index (-1 none)
+    # scratch
+    anch,  # VMEM (8, th, tw) f32 own(y_lo,y_hi,x_lo,x_hi) par(...)
+    todo,  # VMEM (2, th, tw) f32 1.0 = anchor range still uncovered
+    npx_s,  # VMEM (1, th, tw) f32 per-pixel probe count
+    sl_oy,  # SMEM (K2,) i32 window page origins
+    sl_ox,  # SMEM (K2,) i32
+    st,  # SMEM (2,) i32: [0]=covering done flag, [1]=n_used
+    *,
+    tile_h: int,
+    tile_w: int,
+    max_anisotropy: int,
+):
+    g = gbuf_ref
+    big = jnp.float32(3.4e38)
+    matched = g[16] > 0.0
+    tw0, th0, tw1, th1 = g[9], g[10], g[11], g[12]
+
+    own, par, n_px = _probe_extent_anchors(g, max_anisotropy)
+    npx_s[0] = n_px
+    for i in range(4):
+        anch[i] = own[i]
+        anch[4 + i] = par[i]
+    todo[0] = jnp.where(matched, 1.0, 0.0)
+    todo[1] = todo[0]
+    assign_ref[0] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
+    assign_ref[1] = assign_ref[0]
+    st[0] = 0
+    st[1] = 0
+
+    # The kernel computes ONE coordinate set per (pixel, slot), own
+    # coords taking precedence — so a pixel may hold own AND parent
+    # roles in the same slot only where the coords coincide (the mip
+    # chain clamp, where resolve sets l1 = l0). Elsewhere a shared
+    # window defers the parent role to a later round.
+    share_ok = (tw1 == tw0) & (th1 == th0)
+
+    def round_body(s, _):
+        @pl.when(st[0] == 0)
+        def _round():
+            t_o = todo[0] > 0.5
+            t_p = todo[1] > 0.5
+            # One cross-lane reduction per seed coordinate: elementwise
+            # min of the two masked role planes first (min of mins).
+            ymin = jnp.min(
+                jnp.minimum(
+                    jnp.where(t_o, anch[0], big),
+                    jnp.where(t_p, anch[4], big),
+                )
+            )
+
+            @pl.when(ymin < big * 0.5)
+            def _seed():
+                band_o = t_o & (anch[1] < ymin + COV_Y)
+                band_p = t_p & (anch[5] < ymin + COV_Y)
+                xmin = jnp.min(
+                    jnp.minimum(
+                        jnp.where(band_o, anch[2], big),
+                        jnp.where(band_p, anch[6], big),
+                    )
+                )
+                win_o = band_o & (anch[3] < xmin + COV_X)
+                win_p = band_p & (anch[7] < xmin + COV_X)
+                win_p = win_p & (~win_o | share_ok)
+                sf = s.astype(jnp.float32)
+                assign_ref[0] = jnp.where(win_o, sf, assign_ref[0])
+                assign_ref[1] = jnp.where(win_p, sf, assign_ref[1])
+                todo[0] = jnp.where(win_o, 0.0, todo[0])
+                todo[1] = jnp.where(win_p, 0.0, todo[1])
+                ymin_i = ymin.astype(jnp.int32)
+                xmin_i = xmin.astype(jnp.int32)
+                sl_oy[s] = ymin_i - ymin_i % ALIGN_Y
+                sl_ox[s] = xmin_i - xmin_i % ALIGN_X
+                st[1] = st[1] + 1
+
+            @pl.when(ymin >= big * 0.5)
+            def _done():
+                st[0] = 1
+
+        return 0
+
+    jax.lax.fori_loop(0, K2, round_body, 0)
+
+    covered = jnp.any(matched)
+    leftover = jnp.any((todo[0] > 0.5) | (todo[1] > 0.5))
+    n_used = st[1]
+    cls = jnp.where(
+        covered,
+        jnp.where(leftover, CLS_RESIDUAL, CLS_WINDOWED),
+        CLS_EMPTY,
+    ).astype(jnp.int32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.where(lane == 0, cls, 0)
+    row = jnp.where(lane == 1, n_used, row)
+
+    def put_slot(k, r):
+        r = jnp.where(lane == 32 + k, sl_oy[k], r)
+        return jnp.where(lane == 64 + k, sl_ox[k], r)
+
+    table_ref[0, 0:1, :] = jax.lax.fori_loop(0, n_used, put_slot, row)
+
+    # ---- per-chunk plan words: live flag + selection bands ----------------
+    # Bands are derived from the SAME anchor planes the covering used,
+    # so the sampling kernel never reads outside its band. All ranges
+    # are relative to the slot's (ALIGN-rounded) window origin; the
+    # coverage bounds guarantee ryhi+1 <= WH and rxhi+1 <= WW.
+    # All values stay in VECTOR registers ((1, 1) keepdims reductions,
+    # broadcast compares, lane-select row writes): cross-lane
+    # vector->scalar transfers stall the VPU pipeline for ~100 cycles
+    # each, and the slot loop would otherwise pay 4 per (chunk, slot).
+    nc = tile_h // RC
+
+    def vmin(a, b):
+        return jnp.min(jnp.minimum(a, b), axis=(0, 1), keepdims=True)
+
+    def vmax(a, b):
+        return jnp.max(jnp.maximum(a, b), axis=(0, 1), keepdims=True)
+
+    for ci in range(nc):
+        rows = slice(ci * RC, (ci + 1) * RC)
+        ao = assign_ref[0][rows, :]
+        ap = assign_ref[1][rows, :]
+        m_c = matched[rows, :]
+        np_chunk = jnp.max(
+            jnp.where(m_c, npx_s[0][rows, :], 1.0),
+            axis=(0, 1),
+            keepdims=True,
+        ).astype(jnp.int32)
+        ylo_o, yhi_o = anch[0][rows, :], anch[1][rows, :]
+        xlo_o, xhi_o = anch[2][rows, :], anch[3][rows, :]
+        ylo_p, yhi_p = anch[4][rows, :], anch[5][rows, :]
+        xlo_p, xhi_p = anch[6][rows, :], anch[7][rows, :]
+
+        def slot_body(j, r):
+            jf = j.astype(jnp.float32)
+            m_o = ao == jf
+            m_p = ap == jf
+            use = jnp.max(
+                (m_o | m_p).astype(jnp.int32), axis=(0, 1), keepdims=True
+            )
+            ylo = vmin(
+                jnp.where(m_o, ylo_o, big), jnp.where(m_p, ylo_p, big)
+            )
+            yhi = vmax(
+                jnp.where(m_o, yhi_o, -big), jnp.where(m_p, yhi_p, -big)
+            )
+            xlo = vmin(
+                jnp.where(m_o, xlo_o, big), jnp.where(m_p, xlo_p, big)
+            )
+            xhi = vmax(
+                jnp.where(m_o, xhi_o, -big), jnp.where(m_p, xhi_p, -big)
+            )
+            rylo = jnp.clip(ylo.astype(jnp.int32) - sl_oy[j], 0, WH - 1)
+            ryhi = jnp.clip(yhi.astype(jnp.int32) - sl_oy[j] + 1, 0, WH - 1)
+            rxlo = jnp.clip(xlo.astype(jnp.int32) - sl_ox[j], 0, WW - 1)
+            rxhi = jnp.clip(xhi.astype(jnp.int32) - sl_ox[j] + 1, 0, WW - 1)
+            b0 = rylo - rylo % ALIGN_Y
+            nyb = jnp.clip((ryhi + 1 - b0 + YB - 1) // YB, 1, WH // YB)
+            b0 = jnp.minimum(b0, WH - nyb * YB)
+            xb0 = rxlo // XB
+            nxb = jnp.clip(rxhi // XB, 0, NXB - 1) - xb0 + 1
+            word = (
+                1
+                | (b0 << 1)
+                | (nyb << 9)
+                | (xb0 << 12)
+                | (nxb << 14)
+            )
+            word = jnp.where(use > 0, word, 0)
+            return jnp.where(lane == j, word, r)
+
+        crow = jax.lax.fori_loop(
+            0, n_used, slot_body, jnp.zeros((1, 128), jnp.int32)
+        )
+        crow = jnp.where(lane == CHUNK_NP_LANE, np_chunk, crow)
+        table_ref[0, 1 + ci : 2 + ci, :] = crow
 
 
 def plan_tiles(
     gbuf,  # (A_OUT, H, W) from resolve_gbuffer
-    page_origins,  # (TEX, 16, 2) i32 rect (oy, ox) of texel (-1, -1)
-    page_sizes,  # (TEX, 16, 2) i32 (w, h) per mip
+    page_origins,  # unused (page coords ride the G-buffer planes 20..23)
+    page_sizes,  # unused
     *,
     tiles_x: int,
     tiles_y: int,
@@ -135,282 +370,162 @@ def plan_tiles(
     tile_w: int,
     max_anisotropy: int = 1,
 ):
-    """Per-tile window plan (pure XLA reshape/reduce — no big gathers).
+    """Per-tile window plan (Pallas kernel over the tile grid).
 
-    Returns per-tile arrays (cls, nprobe, n_used), flat (T*K,) slot
-    tables (window page origin oy/ox + window texel origin tyo/txo),
-    per-pixel assignment planes assign (2, H, W) f32 (own slot index,
-    parent slot index; -1 = none), and the residual accounting.
+    Returns per-tile arrays (cls, nprobe, n_used), flat (T*K2,) slot
+    origin tables, flat (T*NC*K2,) per-(chunk, slot) plan words +
+    (T*NC,) chunk probe counts, per-pixel assignment planes
+    assign (2, H, W) f32 (own/parent slot index; -1 = none), and the
+    residual accounting.
     """
+    del page_origins, page_sizes
     t_total = tiles_x * tiles_y
-    big = jnp.float32(3.4e38)
-
-    def tiled(plane):  # (H, W) -> (ty, th, tx, tw)
-        return plane.reshape(tiles_y, tile_h, tiles_x, tile_w)
-
-    def tmin(v, m):
-        return jnp.min(jnp.where(m, v, big), axis=(1, 3)).reshape(-1)
-
-    def tmax(v, m):
-        return jnp.max(jnp.where(m, v, -big), axis=(1, 3)).reshape(-1)
-
-    def bt(x):  # (T,) -> broadcastable over tile pixels
-        return x.reshape(tiles_y, 1, tiles_x, 1)
-
-    matched = tiled(gbuf[16] > 0.0)
-    u = tiled(gbuf[6])
-    v = tiled(gbuf[7])
-    tw0 = tiled(gbuf[9])
-    th0 = tiled(gbuf[10])
-    tw1 = tiled(gbuf[11])
-    th1 = tiled(gbuf[12])
-    span = tiled(gbuf[17])
-    maj_du = tiled(gbuf[14])
-    maj_dv = tiled(gbuf[15])
-
-    covered = jnp.any(matched, axis=(1, 3)).reshape(-1)  # (T,)
-
-    # Per-tile probe count: worst ceil(anisotropy ratio) in the tile
-    # (ratio = 1/(1-span), shade.aniso_footprint). Kernel and plan use
-    # the SAME count for probe offsets.
-    if max_anisotropy > 1:
-        span_max = jnp.clip(tmax(span, matched), 0.0, 1.0 - 1e-6)
-        ratio = 1.0 / (1.0 - span_max)
-        nprobe = jnp.clip(
-            jnp.ceil(ratio - 1e-4), 1, max_anisotropy
-        ).astype(jnp.int32)
-    else:
-        nprobe = jnp.ones((t_total,), jnp.int32)
-    npf = nprobe.astype(jnp.float32).reshape(tiles_y, 1, tiles_x, 1)
-
-    # Probe extreme offsets in UV (same formula as the sampling loop):
-    # fo = ((i+0.5)/n - 0.5) * span, extremes at i = 0, n-1.
-    fo_ext = (0.5 - 0.5 / npf) * span
-    du_ext = jnp.abs(maj_du) * fo_ext
-    dv_ext = jnp.abs(maj_dv) * fo_ext
-
-    # Integer texel coords (wrapped) of the bilinear anchor, per level
-    # role, at the probe extremes. The +1 bilinear neighbor rides the
-    # window's extra col/row (see COV_*).
-    def anchor(uu, ww, dd):
-        lo = jnp.mod(jnp.floor((uu - dd) * ww - 0.5), jnp.maximum(ww, 1.0))
-        hi = jnp.mod(jnp.floor((uu + dd) * ww - 0.5), jnp.maximum(ww, 1.0))
-        return jnp.minimum(lo, hi), jnp.maximum(lo, hi)
-
-    # Anchor extremes in PAGE coordinates: wrapped texel coords + the
-    # pixel's own/parent page-rect base (resolve planes 20..23). One
-    # coordinate system across every (texture, mip) means a window
-    # absorbs ANY pixel whose range fits it — adjacent rects (small
-    # mips, neighboring chain levels) share windows for free, and the
-    # covering needs no per-key logic at all.
-    b_oy0, b_ox0 = tiled(gbuf[20]), tiled(gbuf[21])
-    b_oy1, b_ox1 = tiled(gbuf[22]), tiled(gbuf[23])
-    xo_lo, xo_hi = anchor(u, tw0, du_ext)
-    yo_lo, yo_hi = anchor(v, th0, dv_ext)
-    xp_lo, xp_hi = anchor(u, tw1, du_ext)
-    yp_lo, yp_hi = anchor(v, th1, dv_ext)
-    xo_lo, xo_hi = xo_lo + b_ox0, xo_hi + b_ox0
-    yo_lo, yo_hi = yo_lo + b_oy0, yo_hi + b_oy0
-    xp_lo, xp_hi = xp_lo + b_ox1, xp_hi + b_ox1
-    yp_lo, yp_hi = yp_lo + b_oy1, yp_hi + b_oy1
-
-    # ---- greedy banded covering: K rounds ---------------------------------
-    # Each round seeds a window at the topmost (then leftmost) uncovered
-    # anchor and absorbs every pixel role whose whole anchor range fits.
-    todo_o = matched
-    todo_p = matched
-    assign_o = jnp.full((tiles_y, tile_h, tiles_x, tile_w), -1.0)
-    assign_p = jnp.full((tiles_y, tile_h, tiles_x, tile_w), -1.0)
-    slot_used, slot_ty, slot_tx = [], [], []
-    # The kernel computes ONE coordinate set per (pixel, slot), own
-    # coords taking precedence — so a pixel may hold own AND parent
-    # roles in the same slot only where the coords coincide (the mip
-    # chain clamp, where resolve sets l1 = l0). Elsewhere a shared
-    # window defers the parent role to a later round.
-    share_ok = (tw1 == tw0) & (th1 == th0)
-    for s in range(K2):
-        ymin = jnp.minimum(tmin(yo_lo, todo_o), tmin(yp_lo, todo_p))  # (T,)
-        got = ymin < big * 0.5
-        band_o = todo_o & (yo_hi < bt(ymin) + COV_Y)
-        band_p = todo_p & (yp_hi < bt(ymin) + COV_Y)
-        xmin = jnp.minimum(tmin(xo_lo, band_o), tmin(xp_lo, band_p))
-        win_o = band_o & (xo_hi < bt(xmin) + COV_X)
-        win_p = band_p & (xp_hi < bt(xmin) + COV_X)
-        win_p = win_p & (~win_o | share_ok)
-        sf = jnp.float32(s)
-        assign_o = jnp.where(win_o, sf, assign_o)
-        assign_p = jnp.where(win_p, sf, assign_p)
-        todo_o = todo_o & ~win_o
-        todo_p = todo_p & ~win_p
-        slot_used.append(got)
-        slot_ty.append(jnp.where(got, ymin, 0.0))
-        slot_tx.append(jnp.where(got, xmin, 0.0))
-    leftover = jnp.any(todo_o | todo_p, axis=(1, 3)).reshape(-1)
-    fits = covered & ~leftover
-
-    used = jnp.stack(slot_used, axis=1)  # (T, K)
-    s_ty = jnp.stack(slot_ty, axis=1)  # (T, K) page coords of the seed
-    s_tx = jnp.stack(slot_tx, axis=1)
-    # Window origin: seed anchor aligned DOWN to the DMA slice grid (the
-    # COV_* coverage bounds already pay for the worst alignment slack).
-    slot_oy = s_ty - s_ty % ALIGN_Y
-    slot_ox = s_tx - s_tx % ALIGN_X
-    n_used = jnp.sum(used, axis=1).astype(jnp.int32)
-
-    cls = jnp.where(
-        covered,
-        jnp.where(fits, CLS_WINDOWED, CLS_RESIDUAL),
-        CLS_EMPTY,
-    ).astype(jnp.int32)
-
-    residual_tile = cls == CLS_RESIDUAL
-    n_matched = jnp.sum(matched, axis=(1, 3)).reshape(-1)
-    residual_px = jnp.sum(jnp.where(residual_tile, n_matched, 0))
-
-    # ---- per-chunk slot lists + selection bands ---------------------------
-    # The kernel walks pixel rows in chunks of RC; per (tile, chunk) the
-    # plan packs the slots actually referenced by that chunk's pixels
-    # (dense list + count, so the kernel's slot loop runs EXACTLY the
-    # used slots — no cond, no masked wasted matmuls) and a y-band
-    # [band0, band0 + nb*YB) of the window that contains every
-    # referenced texel row, so the MXU contraction reads YB window rows
-    # instead of WH. Bands cover all probe extremes (same yo/yp ranges
-    # the covering used), so the kernel never reads outside its band.
     nc = tile_h // RC
+    assert tile_h % RC == 0
+    assert nc + 1 <= 8, "plan table block holds meta + NC chunk rows"
 
-    def chunked(plane4):  # (ty, th, tx, tw) -> (ty, NC, RC, tx, tw)
-        return plane4.reshape(tiles_y, nc, RC, tiles_x, tile_w)
-
-    def cmin(v, m):  # masked min over a chunk -> (ty, NC, tx)
-        return jnp.min(jnp.where(m, v, big), axis=(2, 4))
-
-    def cmax(v, m):
-        return jnp.max(jnp.where(m, v, -big), axis=(2, 4))
-
-    ao_c = chunked(assign_o)
-    ap_c = chunked(assign_p)
-    yol_c, yoh_c = chunked(yo_lo), chunked(yo_hi)
-    ypl_c, yph_c = chunked(yp_lo), chunked(yp_hi)
-    c_used, c_jid, c_b0, c_nb = [], [], [], []
-    oy_tk = slot_oy.reshape(tiles_y, tiles_x, K2)
-    for j in range(K2):
-        own_j = ao_c == float(j)
-        par_j = ap_c == float(j)
-        use_j = jnp.any(own_j | par_j, axis=(2, 4))  # (ty, NC, tx)
-        lo = jnp.minimum(cmin(yol_c, own_j), cmin(ypl_c, par_j))
-        hi = jnp.maximum(cmax(yoh_c, own_j), cmax(yph_c, par_j))
-        oy_j = oy_tk[:, :, j].astype(jnp.float32)  # (ty, tx) page coords
-        rel_lo = lo - oy_j[:, None, :]
-        rel_hi = hi - oy_j[:, None, :] + 1.0  # +1 bilinear row neighbor
-        b0 = jnp.clip(jnp.floor(rel_lo / ALIGN_Y) * ALIGN_Y, 0.0, WH - YB)
-        fits1 = rel_hi < b0 + YB
-        c_used.append(use_j)
-        c_jid.append(jnp.full_like(use_j, j, dtype=jnp.int32))
-        c_b0.append(jnp.where(fits1, b0, 0.0).astype(jnp.int32))
-        c_nb.append(jnp.where(fits1, 1, WH // YB).astype(jnp.int32))
-    cu = jnp.stack(c_used, axis=-1)  # (ty, NC, tx, K2)
-    cjid = jnp.stack(c_jid, axis=-1)
-    cb0 = jnp.stack(c_b0, axis=-1)
-    cnb = jnp.stack(c_nb, axis=-1)
-    # Pack used slots densely (ascending j) via one tiny sort along K2.
-    sort_key = jnp.where(cu, cjid, K2).astype(jnp.int32)
-    _, p_jid, p_b0, p_nb = jax.lax.sort(
-        (sort_key, cjid, cb0, cnb), num_keys=1
+    kernel = functools.partial(
+        _plan_kernel,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        max_anisotropy=max_anisotropy,
     )
-    chunk_cnt = jnp.sum(cu, axis=-1).astype(jnp.int32)  # (ty, NC, tx)
-    # Slots below K are wave-0 (resident); the ascending pack puts them
-    # first, so the kernel's wave split is just this count.
-    chunk_cnt0 = jnp.sum(cu & (cjid < K), axis=-1).astype(jnp.int32)
-
-    def chunk_flat(x):  # (ty, NC, tx, ...) -> (T * NC * ...), tile-major
-        return jnp.swapaxes(x, 1, 2).reshape(-1).astype(jnp.int32)
-
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(t_total,),
+        in_specs=[
+            pl.BlockSpec(
+                (A_OUT, tile_h, tile_w),
+                lambda g: (0, g // tiles_x, g % tiles_x),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (2, tile_h, tile_w),
+                lambda g: (0, g // tiles_x, g % tiles_x),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((2, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((1, tile_h, tile_w), jnp.float32),
+            pltpu.SMEM((K2,), jnp.int32),
+            pltpu.SMEM((K2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
     h = tiles_y * tile_h
     w = tiles_x * tile_w
-    assign = jnp.stack(
-        [
-            assign_o.reshape(h, w),
-            assign_p.reshape(h, w),
+    table, assign = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t_total, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((2, h, w), jnp.float32),
         ],
-        axis=0,
-    )
+        interpret=_k.interpret_mode(),
+    )(gbuf)
 
-    def flat_i32(x):
-        return x.astype(jnp.int32).reshape(-1)
+    meta = table[:, 0, :]
+    chunkt = table[:, 1 : 1 + nc, :].reshape(t_total * nc, 128)
+    cls = meta[:, 0]
+    n_used = meta[:, 1]
+    slot_oy = meta[:, 32 : 32 + K2].reshape(-1)
+    slot_ox = meta[:, 64 : 64 + K2].reshape(-1)
+    chunk_pack = chunkt[:, :K2].reshape(-1)
+    chunk_np = chunkt[:, CHUNK_NP_LANE]
+    nprobe = jnp.max(chunk_np.reshape(t_total, nc), axis=1)
+
+    matched = (gbuf[16] > 0.0).reshape(tiles_y, tile_h, tiles_x, tile_w)
+    n_matched = jnp.sum(matched, axis=(1, 3)).reshape(-1)
+    residual_tile = cls == CLS_RESIDUAL
+    residual_px = jnp.sum(jnp.where(residual_tile, n_matched, 0))
 
     return {
         "cls": cls,
         "nprobe": nprobe,
         "n_used": n_used,
-        "slot_oy": flat_i32(slot_oy),
-        "slot_ox": flat_i32(slot_ox),
-        "chunk_cnt": chunk_flat(chunk_cnt),
-        "chunk_cnt0": chunk_flat(chunk_cnt0),
-        "chunk_jid": chunk_flat(p_jid),
-        "chunk_b0": chunk_flat(p_b0),
-        "chunk_nb": chunk_flat(p_nb),
+        "slot_oy": slot_oy,
+        "slot_ox": slot_ox,
+        "chunk_pack": chunk_pack,
+        "chunk_np": chunk_np,
         "assign": assign,
         "residual_tile": residual_tile,
         "residual_px": residual_px,
     }
 
 
-def _bilinear_chunk(win, j, b0, nb, xsel, ysel, wdtype, ix):
+def _bilinear_chunk(win, j, b0, nyb, xb0, nxb, xsel, ysel, wdtype):
     """Bilinear-sample window slot `j` for one RC-row pixel chunk.
 
     xsel/ysel: per-pixel window-coordinate sample positions
     (anchor + fraction), (RC, tw) f32, -2.0 where the pixel does not
-    reference this slot (tent weights vanish there). b0/nb: the plan's
-    selection band — rows [b0, b0 + nb*YB) of the window contain every
-    referenced texel row. Returns 4 planes (RC, tw) f32.
+    reference this slot (tent weights vanish there). b0/nyb and
+    xb0/nxb: the plan's selection bands — rows [b0, b0 + nyb*YB) and
+    cols [xb0*XB, (xb0+nxb)*XB) of the window contain every referenced
+    texel. Returns 4 planes (RC, tw) f32.
 
     x-filtering: batched MXU contraction with tent weights
       C[r, i, c] = max(0, 1 - |i - xsel(r, c)|)
     which places (1-fx, fx) at the two x-neighbors. y-filtering: tent
-    over the band rows on the VPU, against ABSOLUTE window row indices
+    over the band rows on the VPU, against ABSOLUTE window coordinates
     (bands are disjoint, so multi-band sums add exact zeros). Weight
     placement and lerp order match shade._trilerp up to f32-vs-bf16
     rounding.
     """
     tw = xsel.shape[1]
-    cw = jnp.maximum(0.0, 1.0 - jnp.abs(ix - xsel[:, None, :])).astype(wdtype)
     iy = jax.lax.broadcasted_iota(jnp.int32, (YB, RC, tw), 0).astype(jnp.float32)
+    ixb = jax.lax.broadcasted_iota(jnp.int32, (RC, XB, tw), 1).astype(jnp.float32)
 
-    def band(k, p4):
-        start = pl.multiple_of(b0 + k * YB, ALIGN_Y)
-        tband = win[j, :, pl.ds(start, YB), :].reshape(4 * YB, WW).astype(wdtype)
-        # One batched contraction x-filters all 4 channels. Both
-        # operands are explicitly bf16 (texels 2^-11 -> 2^-9, tent
-        # weights 2^-9) so compiled MXU and interpret mode agree up
-        # to accumulation order; f32 accumulation via
-        # preferred_element_type.
-        b = jax.lax.dot_general(
-            tband,
-            cw,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(4, YB, RC, tw)
+    def yband(ky, p4):
+        ystart = pl.multiple_of(b0 + ky * YB, ALIGN_Y)
         ry = jnp.maximum(
-            0.0, 1.0 - jnp.abs(iy + start.astype(jnp.float32) - ysel[None, :, :])
+            0.0, 1.0 - jnp.abs(iy + ystart.astype(jnp.float32) - ysel[None, :, :])
         )
-        return [p4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)]
+
+        def xband(kx, q4):
+            xstart = pl.multiple_of((xb0 + kx) * XB, XB)
+            tband = (
+                win[j, :, pl.ds(ystart, YB), pl.ds(xstart, XB)]
+                .reshape(4 * YB, XB)
+                .astype(wdtype)
+            )
+            cw = jnp.maximum(
+                0.0,
+                1.0 - jnp.abs(ixb + xstart.astype(jnp.float32) - xsel[:, None, :]),
+            ).astype(wdtype)
+            # One batched contraction x-filters all 4 channels. Both
+            # operands are explicitly bf16 (texels 2^-11 -> 2^-9, tent
+            # weights 2^-9) so compiled MXU and interpret mode agree up
+            # to accumulation order; f32 accumulation via
+            # preferred_element_type.
+            b = jax.lax.dot_general(
+                tband,
+                cw,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(4, YB, RC, tw)
+            return [q4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)]
+
+        return jax.lax.fori_loop(0, nxb, xband, p4)
 
     zero = [jnp.zeros((RC, tw), jnp.float32)] * 4
-    return jax.lax.fori_loop(0, nb, band, zero)
+    return jax.lax.fori_loop(0, nyb, yband, zero)
 
 
 def _sampler_kernel(
     # scalar prefetch
     cls_ref,  # (T,) i32
-    nprobe_ref,  # (T,) i32
     n_used_ref,  # (T,) i32
     oy_ref,  # (T*K2,) i32 window page origin (DMA-aligned)
     ox_ref,
-    cnt_ref,  # (T*NC,) i32 used-slot count per pixel chunk
-    cnt0_ref,  # (T*NC,) i32 count of wave-0 slots (jid < K) per chunk
-    jid_ref,  # (T*NC*K2,) i32 dense used-slot ids per chunk (ascending)
-    b0_ref,  # (T*NC*K2,) i32 selection band start row
-    nb_ref,  # (T*NC*K2,) i32 selection band count
+    pack_ref,  # (T*NC*K2,) i32 per-(chunk, slot) plan word
+    np_ref,  # (T*NC,) i32 per-chunk probe-loop trip count
     # inputs
     gbuf_ref,  # VMEM (A_OUT, th, tw)
     assign_ref,  # VMEM (2, th, tw) f32 own/parent slot index
@@ -461,12 +576,7 @@ def _sampler_kernel(
     def _windowed():
         n = n_used_ref[t]
         g = gbuf_ref
-        np_t = nprobe_ref[t]
-        npf = np_t.astype(jnp.float32)
         nc = tile_h // RC
-        ix = jax.lax.broadcasted_iota(
-            jnp.int32, (RC, WW, tile_w), 1
-        ).astype(jnp.float32)
 
         for c in range(8):
             sacc[c] = jnp.zeros((tile_h, tile_w), jnp.float32)
@@ -511,75 +621,76 @@ def _sampler_kernel(
                 assign_o = assign_ref[0, rows, :]
                 assign_p = assign_ref[1, rows, :]
                 cbase = t * nc + ci
-                # This wave's span of the chunk's ascending slot list.
-                k_lo = jnp.int32(0) if wave == 0 else cnt0_ref[cbase]
-                k_hi = cnt0_ref[cbase] if wave == 0 else cnt_ref[cbase]
+                if max_anisotropy > 1:
+                    n_px = _shade.probe_count(span, max_anisotropy)
+                else:
+                    n_px = jnp.ones_like(span)
 
-                def probe_body(i, acc):
-                    fo = ((i.astype(jnp.float32) + 0.5) / npf - 0.5) * span
+                def probe_body(i, _):
+                    ifl = i.astype(jnp.float32)
+                    live = ifl < n_px
+                    fo = ((ifl + 0.5) / n_px - 0.5) * span
                     up = u + maj_du * fo
                     vp = v + maj_dv * fo
 
-                    def slot_body(k, sacc8):
-                        # The plan's dense used-slot list: the loop trip
-                        # count is EXACTLY the slots this chunk references.
-                        e = cbase * K2 + k
-                        j = jid_ref[e]
-                        jf = j.astype(jnp.float32)
-                        oy_j = oy_ref[t * K2 + j].astype(jnp.float32)
-                        ox_j = ox_ref[t * K2 + j].astype(jnp.float32)
-                        own_j = assign_o == jf
-                        par_j = assign_p == jf
-                        m = own_j | par_j
-                        # Own-level coords where this slot is the pixel's
-                        # l0, else parent coords (roles coincide at the mip
-                        # chain clamp, where the coords are equal anyway).
-                        # Wrapped texel coords + the level's page base give
-                        # PAGE coords; window coords = page - window origin.
-                        ww_sel = jnp.where(own_j, tw0, tw1)
-                        hh_sel = jnp.where(own_j, th0, th1)
-                        bx_sel = jnp.where(own_j, b_ox0, b_ox1)
-                        by_sel = jnp.where(own_j, b_oy0, b_oy1)
-                        x = up * ww_sel - 0.5
-                        yy = vp * hh_sel - 0.5
-                        x0 = jnp.floor(x)
-                        y0 = jnp.floor(yy)
-                        fx = x - x0
-                        fy = yy - y0
-                        x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
-                        y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
-                        xsel = jnp.where(m, x0w + bx_sel - ox_j + fx, -2.0)
-                        ysel = jnp.where(m, y0w + by_sel - oy_j + fy, -2.0)
-                        planes = _bilinear_chunk(
-                            win,
-                            j - j_lo,
-                            b0_ref[e],
-                            nb_ref[e],
-                            xsel,
-                            ysel,
-                            wdtype,
-                            ix,
-                        )
-                        out = []
-                        for c in range(4):
-                            out.append(
-                                sacc8[c] + jnp.where(own_j, planes[c], 0.0)
-                            )
-                        for c in range(4):
-                            out.append(
-                                sacc8[4 + c] + jnp.where(par_j, planes[c], 0.0)
-                            )
-                        return out
+                    def slot_body(j, _):
+                        word = pack_ref[cbase * K2 + j]
 
-                    return jax.lax.fori_loop(k_lo, k_hi, slot_body, acc)
+                        @pl.when((word & 1) == 1)
+                        def _live_slot():
+                            jf = j.astype(jnp.float32)
+                            oy_j = oy_ref[t * K2 + j].astype(jnp.float32)
+                            ox_j = ox_ref[t * K2 + j].astype(jnp.float32)
+                            own_j = (assign_o == jf) & live
+                            par_j = (assign_p == jf) & live
+                            m = own_j | par_j
+                            # Own-level coords where this slot is the
+                            # pixel's l0, else parent coords (roles
+                            # coincide at the mip chain clamp, where the
+                            # coords are equal anyway). Wrapped texel
+                            # coords + the level's page base give PAGE
+                            # coords; window coords = page - origin.
+                            ww_sel = jnp.where(own_j, tw0, tw1)
+                            hh_sel = jnp.where(own_j, th0, th1)
+                            bx_sel = jnp.where(own_j, b_ox0, b_ox1)
+                            by_sel = jnp.where(own_j, b_oy0, b_oy1)
+                            x = up * ww_sel - 0.5
+                            yy = vp * hh_sel - 0.5
+                            x0 = jnp.floor(x)
+                            y0 = jnp.floor(yy)
+                            fx = x - x0
+                            fy = yy - y0
+                            x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
+                            y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
+                            xsel = jnp.where(m, x0w + bx_sel - ox_j + fx, -2.0)
+                            ysel = jnp.where(m, y0w + by_sel - oy_j + fy, -2.0)
+                            planes = _bilinear_chunk(
+                                win,
+                                j - j_lo,
+                                (word >> 1) & 0xFF,
+                                (word >> 9) & 0x7,
+                                (word >> 12) & 0x3,
+                                (word >> 14) & 0x3,
+                                xsel,
+                                ysel,
+                                wdtype,
+                            )
+                            for c in range(4):
+                                sacc[c, rows, :] += jnp.where(
+                                    own_j, planes[c], 0.0
+                                )
+                                sacc[4 + c, rows, :] += jnp.where(
+                                    par_j, planes[c], 0.0
+                                )
 
-                zero8 = [jnp.zeros((RC, tile_w), jnp.float32)] * 8
+                        return 0
+
+                    return jax.lax.fori_loop(j_lo, j_hi, slot_body, 0)
+
                 if max_anisotropy > 1:
-                    acc8 = jax.lax.fori_loop(0, np_t, probe_body, zero8)
+                    jax.lax.fori_loop(0, np_ref[cbase], probe_body, 0)
                 else:
-                    acc8 = probe_body(jnp.int32(0), zero8)
-                for c in range(8):
-                    sacc[c, rows, :] += acc8[c]
+                    probe_body(jnp.int32(0), 0)
                 return 0
 
             jax.lax.fori_loop(0, nc, chunk_body, 0)
@@ -595,8 +706,12 @@ def _sampler_kernel(
         #   sum_p (own_p*(1-tf) + par_p*tf)/np == ((1-tf)*Sown + tf*Spar)/np.
         tfrac = g[13]
         t_i = 1.0 - tfrac
+        if max_anisotropy > 1:
+            npx_full = _shade.probe_count(g[17], max_anisotropy)
+        else:
+            npx_full = jnp.ones((tile_h, tile_w), jnp.float32)
         shade_out(
-            [(sacc[c] * t_i + sacc[4 + c] * tfrac) / npf for c in range(4)]
+            [(sacc[c] * t_i + sacc[4 + c] * tfrac) / npx_full for c in range(4)]
         )
 
     @pl.when(cls >= CLS_EMPTY)
@@ -652,7 +767,7 @@ def sample_tiles(
         blend=blend,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=6,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(
@@ -688,15 +803,11 @@ def sample_tiles(
         interpret=_k.interpret_mode(),
     )(
         plan["cls"],
-        plan["nprobe"],
         plan["n_used"],
         plan["slot_oy"],
         plan["slot_ox"],
-        plan["chunk_cnt"],
-        plan["chunk_cnt0"],
-        plan["chunk_jid"],
-        plan["chunk_b0"],
-        plan["chunk_nb"],
+        plan["chunk_pack"],
+        plan["chunk_np"],
         gbuf,
         plan["assign"],
         camera_position.reshape(1, 3),

@@ -278,6 +278,20 @@ def aniso_footprint(rho2_x, rho2_y, du_dx, du_dy, dv_dx, dv_dy, n: int):
     return rho2_used, maj_du, maj_dv, span
 
 
+def probe_count(span, n: int):
+    """Per-PIXEL probe count (f32): ceil of the anisotropy ratio implied
+    by span (= 1 - 1/ratio_c), clamped to [1, n]. Hardware samplers take
+    ~ratio taps, not maxAnisotropy taps; isotropic pixels pay one.
+
+    This exact expression is shared by the gather loops here and the
+    windowed sampler's plan + sample kernels (kernels/sampler.py), so
+    every path integrates the identical quadrature."""
+    span_c = jnp.clip(span, 0.0, 1.0 - 1.0 / n)
+    return jnp.clip(
+        jnp.ceil(1.0 / (1.0 - span_c) - jnp.float32(1e-4)), 1.0, jnp.float32(n)
+    )
+
+
 def _plane_select(planes, lane):
     """planes (16, ...) selected at per-element level index (masked
     accumulation over the major axis — no minor-dim gather, no
@@ -397,12 +411,18 @@ def shade_deferred(
         rho2_used, maj_du, maj_dv, span = aniso_footprint(
             rho2_x, rho2_y, du_dx, du_dy, dv_dx, dv_dy, n
         )
+        # Per-pixel probe count (probe_count): only pixels whose ratio
+        # needs probe i contribute to it, and positions/normalization
+        # use the pixel's own count — identical quadrature to the
+        # windowed sampler's data-dependent probe loop.
+        npx = probe_count(span, n)
         acc = [0.0, 0.0, 0.0, 0.0]
         for i in range(n):
-            fo = jnp.float32((i + 0.5) / n - 0.5) * span
+            live = jnp.float32(i) < npx
+            fo = ((jnp.float32(i) + 0.5) / npx - 0.5) * span
             probe = trilinear(uv_u + maj_du * fo, uv_v + maj_dv * fo, rho2_used)
-            acc = [a + p for a, p in zip(acc, probe)]
-        albedo = [a / n for a in acc]
+            acc = [a + jnp.where(live, p, 0.0) for a, p in zip(acc, probe)]
+        albedo = [a / npx for a in acc]
 
     rgb = _light_planes(
         albedo,
@@ -472,12 +492,15 @@ def shade_gbuffer(
         albedo = trilinear_at(uv_u, uv_v)
     else:
         n_probes = int(max_anisotropy)
+        # Per-pixel probe counts — see probe_count / shade_deferred.
+        npx = probe_count(span, n_probes)
         acc = [0.0, 0.0, 0.0, 0.0]
         for i in range(n_probes):
-            fo = jnp.float32((i + 0.5) / n_probes - 0.5) * span
+            live = jnp.float32(i) < npx
+            fo = ((jnp.float32(i) + 0.5) / npx - 0.5) * span
             probe = trilinear_at(uv_u + maj_du * fo, uv_v + maj_dv * fo)
-            acc = [a + p for a, p in zip(acc, probe)]
-        albedo = [a / n_probes for a in acc]
+            acc = [a + jnp.where(live, p, 0.0) for a, p in zip(acc, probe)]
+        albedo = [a / npx for a in acc]
 
     rgb = _light_planes(
         albedo,
