@@ -142,6 +142,7 @@ def main() -> int:
     t0 = time.perf_counter()
     times = []
     dropped_total = 0
+    window_miss_total = 0
     frame = None
     it = iter(uniforms[args.warmup :])
     batch = list(it)
@@ -156,6 +157,9 @@ def main() -> int:
         # silently drop triangles AND flatter the benchmark — fetch the
         # counter per group (frame already synced; this is a scalar).
         dropped_total += int(np.asarray(frame["bin_overflow"]))
+        # Same honesty for the windowed sampler: pixels that fell off
+        # the planned-window path onto the per-pixel gather fallback.
+        window_miss_total += int(np.asarray(frame["window_miss_px"]))
     wall = time.perf_counter() - t0
 
     # Config #5 (60 Hz flythrough with device->host readback), measured
@@ -202,6 +206,7 @@ def main() -> int:
         "frames": args.frames,
         "wall_s": round(wall, 2),
         "dropped_pairs": dropped_total,
+        "window_miss_px": window_miss_total,
         "parity_max_lsb": parity_max_lsb,
         "present_ms_per_frame": round(present_ms, 4),
         "present_fps": round(1000.0 / present_ms, 2) if present_ms > 0 else None,

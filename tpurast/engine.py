@@ -63,8 +63,10 @@ class Engine:
         # late so the read never stalls the async pipeline. Counts
         # dropped (tile, face) pairs + dropped raster segments.
         self._pending_overflow = None
+        self._pending_window_miss = None
         self.overflow_frames = 0
         self.dropped_total = 0
+        self.window_miss_total = 0
         self.frame_index = 0
 
     # -- one tick: update + render + present ------------------------------
@@ -105,7 +107,19 @@ class Engine:
                     self.frame_index - 1,
                     dropped,
                 )
+        if self._pending_window_miss is not None:
+            missed = int(np.asarray(self._pending_window_miss))
+            if missed:
+                self.window_miss_total += missed
+                log.warning(
+                    "frame %d: %d pixels fell off the windowed sampler "
+                    "onto per-pixel gathers (unwindowable UV layout) — "
+                    "the frame is correct but silently slower",
+                    self.frame_index - 1,
+                    missed,
+                )
         self._pending_overflow = frame["bin_overflow"]
+        self._pending_window_miss = frame.get("window_miss_px")
         if self.vsync:
             budget = 1.0 / 60.0
             elapsed = time.perf_counter() - now

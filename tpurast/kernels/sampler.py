@@ -123,10 +123,18 @@ CLS_RESIDUAL = 3
 # result (tent weights are evaluated against absolute window
 # coordinates, so texels outside a pixel's 2-tap support contribute
 # exact zeros).
-RC = 16
+RC = 16  # preferred chunk height; rc_for() shrinks it for small tiles
 YB = 48
 XB = 128
 NXB = WW // XB
+
+
+def rc_for(tile_h: int) -> int:
+    """Chunk row height for a tile height: 16 when it divides tile_h,
+    else 8 (config.py documents tile_h as any multiple of 8)."""
+    if tile_h % 8 != 0:
+        raise ValueError(f"tile_h must be a multiple of 8, got {tile_h}")
+    return RC if tile_h % RC == 0 else 8
 
 # Per-(chunk, slot) plan word (lane j of the chunk row):
 #   bit 0      live (chunk references slot j)
@@ -134,8 +142,12 @@ NXB = WW // XB
 #   bits 9-11  nyb  — y-band count (1..WH//YB)
 #   bits 12-13 xb0  — x-band start index (0..NXB-1)
 #   bits 14-15 nxb  — x-band count (1..NXB)
+#   bits 16-19 np-1 — worst probe count over the chunk's pixels that
+#                     reference THIS slot (so an isotropic wall slot in
+#                     a chunk that also holds grazing floor pixels pays
+#                     1 probe, not the floor's 16)
 # Lane CHUNK_NP_LANE of the chunk row: the chunk's worst per-pixel
-# probe count (probe-loop trip count).
+# probe count (kept for tooling/diagnostics).
 CHUNK_NP_LANE = 120
 
 
@@ -192,6 +204,7 @@ def _plan_kernel(
     tile_h: int,
     tile_w: int,
     max_anisotropy: int,
+    rc: int,
 ):
     g = gbuf_ref
     big = jnp.float32(3.4e38)
@@ -291,7 +304,7 @@ def _plan_kernel(
     # broadcast compares, lane-select row writes): cross-lane
     # vector->scalar transfers stall the VPU pipeline for ~100 cycles
     # each, and the slot loop would otherwise pay 4 per (chunk, slot).
-    nc = tile_h // RC
+    nc = tile_h // rc
 
     def vmin(a, b):
         return jnp.min(jnp.minimum(a, b), axis=(0, 1), keepdims=True)
@@ -300,12 +313,13 @@ def _plan_kernel(
         return jnp.max(jnp.maximum(a, b), axis=(0, 1), keepdims=True)
 
     for ci in range(nc):
-        rows = slice(ci * RC, (ci + 1) * RC)
+        rows = slice(ci * rc, (ci + 1) * rc)
         ao = assign_ref[0][rows, :]
         ap = assign_ref[1][rows, :]
         m_c = matched[rows, :]
+        npx_c = npx_s[0][rows, :]
         np_chunk = jnp.max(
-            jnp.where(m_c, npx_s[0][rows, :], 1.0),
+            jnp.where(m_c, npx_c, 1.0),
             axis=(0, 1),
             keepdims=True,
         ).astype(jnp.int32)
@@ -342,12 +356,20 @@ def _plan_kernel(
             b0 = jnp.minimum(b0, WH - nyb * YB)
             xb0 = rxlo // XB
             nxb = jnp.clip(rxhi // XB, 0, NXB - 1) - xb0 + 1
+            np_s = jnp.clip(
+                jnp.max(
+                    jnp.where(m_o | m_p, npx_c, 1.0), axis=(0, 1), keepdims=True
+                ).astype(jnp.int32),
+                1,
+                16,
+            )
             word = (
                 1
                 | (b0 << 1)
                 | (nyb << 9)
                 | (xb0 << 12)
                 | (nxb << 14)
+                | ((np_s - 1) << 16)
             )
             word = jnp.where(use > 0, word, 0)
             return jnp.where(lane == j, word, r)
@@ -380,8 +402,8 @@ def plan_tiles(
     """
     del page_origins, page_sizes
     t_total = tiles_x * tiles_y
-    nc = tile_h // RC
-    assert tile_h % RC == 0
+    rc = rc_for(tile_h)
+    nc = tile_h // rc
     assert nc + 1 <= 8, "plan table block holds meta + NC chunk rows"
 
     kernel = functools.partial(
@@ -389,6 +411,7 @@ def plan_tiles(
         tile_h=tile_h,
         tile_w=tile_w,
         max_anisotropy=max_anisotropy,
+        rc=rc,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -460,61 +483,84 @@ def plan_tiles(
     }
 
 
-def _bilinear_chunk(win, j, b0, nyb, xb0, nxb, xsel, ysel, wdtype):
-    """Bilinear-sample window slot `j` for one RC-row pixel chunk.
+def _slot_accumulate(win, wj, word, probe_sel, np_s, rc, tw_px, wdtype):
+    """Accumulate ALL probes of one (chunk, slot) pair.
 
-    xsel/ysel: per-pixel window-coordinate sample positions
-    (anchor + fraction), (RC, tw) f32, -2.0 where the pixel does not
-    reference this slot (tent weights vanish there). b0/nyb and
-    xb0/nxb: the plan's selection bands — rows [b0, b0 + nyb*YB) and
-    cols [xb0*XB, (xb0+nxb)*XB) of the window contain every referenced
-    texel. Returns 4 planes (RC, tw) f32.
+    probe_sel(i) -> (xsel, ysel): per-pixel window-coordinate sample
+    positions (anchor + fraction) for probe i, (rc, tw) f32, -2.0 where
+    the pixel does not use this slot/probe (tent weights vanish there).
+    `word` carries the plan's selection bands — rows [b0, b0 + nyb*YB)
+    and cols [xb0*XB, (xb0+nxb)*XB) of the window contain every texel
+    ANY probe references (the plan's coverage test uses probe-extreme
+    anchors); np_s is the slot's probe trip count (plan word bits
+    16-19). Returns 4 planes (rc, tw) f32 — the probe SUM; the caller
+    normalizes by the per-pixel count.
 
-    x-filtering: batched MXU contraction with tent weights
+    Loop order is band-outer / probe-inner so the window band load (the
+    dominant probe-independent cost) runs once per band, not once per
+    probe. Per probe, x-filtering is a batched MXU contraction with
+    tent weights
       C[r, i, c] = max(0, 1 - |i - xsel(r, c)|)
-    which places (1-fx, fx) at the two x-neighbors. y-filtering: tent
-    over the band rows on the VPU, against ABSOLUTE window coordinates
-    (bands are disjoint, so multi-band sums add exact zeros). Weight
-    placement and lerp order match shade._trilerp up to f32-vs-bf16
-    rounding.
+    which places (1-fx, fx) at the two x-neighbors; y-filtering is a
+    tent over the band rows on the VPU, against ABSOLUTE window
+    coordinates (bands are disjoint, so multi-band sums add exact
+    zeros, and a probe whose support misses the band contributes exact
+    zeros). Weight placement and lerp order match shade._trilerp up to
+    f32-vs-bf16 rounding.
     """
-    tw = xsel.shape[1]
-    iy = jax.lax.broadcasted_iota(jnp.int32, (YB, RC, tw), 0).astype(jnp.float32)
-    ixb = jax.lax.broadcasted_iota(jnp.int32, (RC, XB, tw), 1).astype(jnp.float32)
+    b0 = (word >> 1) & 0xFF
+    nyb = (word >> 9) & 0x7
+    xb0 = (word >> 12) & 0x3
+    nxb = (word >> 14) & 0x3
 
     def yband(ky, p4):
         ystart = pl.multiple_of(b0 + ky * YB, ALIGN_Y)
-        ry = jnp.maximum(
-            0.0, 1.0 - jnp.abs(iy + ystart.astype(jnp.float32) - ysel[None, :, :])
-        )
 
         def xband(kx, q4):
             xstart = pl.multiple_of((xb0 + kx) * XB, XB)
             tband = (
-                win[j, :, pl.ds(ystart, YB), pl.ds(xstart, XB)]
+                win[wj, :, pl.ds(ystart, YB), pl.ds(xstart, XB)]
                 .reshape(4 * YB, XB)
                 .astype(wdtype)
             )
-            cw = jnp.maximum(
-                0.0,
-                1.0 - jnp.abs(ixb + xstart.astype(jnp.float32) - xsel[:, None, :]),
-            ).astype(wdtype)
-            # One batched contraction x-filters all 4 channels. Both
-            # operands are explicitly bf16 (texels 2^-11 -> 2^-9, tent
-            # weights 2^-9) so compiled MXU and interpret mode agree up
-            # to accumulation order; f32 accumulation via
-            # preferred_element_type.
-            b = jax.lax.dot_general(
-                tband,
-                cw,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(4, YB, RC, tw)
-            return [q4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)]
+
+            def probe(i, s4):
+                xsel, ysel = probe_sel(i)
+                twc = xsel.shape[1]
+                iy = jax.lax.broadcasted_iota(
+                    jnp.int32, (YB, rc, twc), 0
+                ).astype(jnp.float32)
+                ixb = jax.lax.broadcasted_iota(
+                    jnp.int32, (rc, XB, twc), 1
+                ).astype(jnp.float32)
+                ry = jnp.maximum(
+                    0.0,
+                    1.0
+                    - jnp.abs(iy + ystart.astype(jnp.float32) - ysel[None, :, :]),
+                )
+                cw = jnp.maximum(
+                    0.0,
+                    1.0
+                    - jnp.abs(ixb + xstart.astype(jnp.float32) - xsel[:, None, :]),
+                ).astype(wdtype)
+                # One batched contraction x-filters all 4 channels. Both
+                # operands are explicitly bf16 (texels 2^-11 -> 2^-9, tent
+                # weights 2^-9) so compiled MXU and interpret mode agree up
+                # to accumulation order; f32 accumulation via
+                # preferred_element_type.
+                b = jax.lax.dot_general(
+                    tband,
+                    cw,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(4, YB, rc, twc)
+                return [s4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)]
+
+            return jax.lax.fori_loop(0, np_s, probe, q4)
 
         return jax.lax.fori_loop(0, nxb, xband, p4)
 
-    zero = [jnp.zeros((RC, tw), jnp.float32)] * 4
+    zero = [jnp.zeros((rc, tw_px), jnp.float32)] * 4
     return jax.lax.fori_loop(0, nyb, yband, zero)
 
 
@@ -525,7 +571,6 @@ def _sampler_kernel(
     oy_ref,  # (T*K2,) i32 window page origin (DMA-aligned)
     ox_ref,
     pack_ref,  # (T*NC*K2,) i32 per-(chunk, slot) plan word
-    np_ref,  # (T*NC,) i32 per-chunk probe-loop trip count
     # inputs
     gbuf_ref,  # VMEM (A_OUT, th, tw)
     assign_ref,  # VMEM (2, th, tw) f32 own/parent slot index
@@ -541,6 +586,7 @@ def _sampler_kernel(
     tile_h: int,
     tile_w: int,
     max_anisotropy: int,
+    rc: int,
     wdtype,
     light_direction,
     light_color,
@@ -576,7 +622,7 @@ def _sampler_kernel(
     def _windowed():
         n = n_used_ref[t]
         g = gbuf_ref
-        nc = tile_h // RC
+        nc = tile_h // rc
 
         for c in range(8):
             sacc[c] = jnp.zeros((tile_h, tile_w), jnp.float32)
@@ -609,8 +655,8 @@ def _sampler_kernel(
             jax.lax.fori_loop(j_lo, j_hi, dma_wait, 0)
 
             def chunk_body(ci, _):
-                r0 = pl.multiple_of(ci * RC, RC)
-                rows = pl.ds(r0, RC)
+                r0 = pl.multiple_of(ci * rc, rc)
+                rows = pl.ds(r0, rc)
                 u, v = g[6, rows, :], g[7, rows, :]
                 tw0, th0 = g[9, rows, :], g[10, rows, :]
                 tw1, th1 = g[11, rows, :], g[12, rows, :]
@@ -626,72 +672,65 @@ def _sampler_kernel(
                 else:
                     n_px = jnp.ones_like(span)
 
-                def probe_body(i, _):
-                    ifl = i.astype(jnp.float32)
-                    live = ifl < n_px
-                    fo = ((ifl + 0.5) / n_px - 0.5) * span
-                    up = u + maj_du * fo
-                    vp = v + maj_dv * fo
+                def slot_body(j, _):
+                    word = pack_ref[cbase * K2 + j]
 
-                    def slot_body(j, _):
-                        word = pack_ref[cbase * K2 + j]
+                    @pl.when((word & 1) == 1)
+                    def _live_slot():
+                        jf = j.astype(jnp.float32)
+                        oy_j = oy_ref[t * K2 + j].astype(jnp.float32)
+                        ox_j = ox_ref[t * K2 + j].astype(jnp.float32)
+                        own_j = assign_o == jf
+                        par_j = assign_p == jf
+                        m0 = own_j | par_j
+                        # Own-level coords where this slot is the pixel's
+                        # l0, else parent coords (roles coincide at the
+                        # mip chain clamp, where the coords are equal
+                        # anyway). Wrapped texel coords + the level's
+                        # page base give PAGE coords; window coords =
+                        # page - origin. All probe-INDEPENDENT work
+                        # happens here, outside the probe loop.
+                        ww_sel = jnp.where(own_j, tw0, tw1)
+                        hh_sel = jnp.where(own_j, th0, th1)
+                        bx_sel = jnp.where(own_j, b_ox0, b_ox1) - ox_j
+                        by_sel = jnp.where(own_j, b_oy0, b_oy1) - oy_j
 
-                        @pl.when((word & 1) == 1)
-                        def _live_slot():
-                            jf = j.astype(jnp.float32)
-                            oy_j = oy_ref[t * K2 + j].astype(jnp.float32)
-                            ox_j = ox_ref[t * K2 + j].astype(jnp.float32)
-                            own_j = (assign_o == jf) & live
-                            par_j = (assign_p == jf) & live
-                            m = own_j | par_j
-                            # Own-level coords where this slot is the
-                            # pixel's l0, else parent coords (roles
-                            # coincide at the mip chain clamp, where the
-                            # coords are equal anyway). Wrapped texel
-                            # coords + the level's page base give PAGE
-                            # coords; window coords = page - origin.
-                            ww_sel = jnp.where(own_j, tw0, tw1)
-                            hh_sel = jnp.where(own_j, th0, th1)
-                            bx_sel = jnp.where(own_j, b_ox0, b_ox1)
-                            by_sel = jnp.where(own_j, b_oy0, b_oy1)
-                            x = up * ww_sel - 0.5
-                            yy = vp * hh_sel - 0.5
+                        def probe_sel(i):
+                            ifl = i.astype(jnp.float32)
+                            m = m0 & (ifl < n_px)
+                            fo = ((ifl + 0.5) / n_px - 0.5) * span
+                            x = (u + maj_du * fo) * ww_sel - 0.5
+                            yy = (v + maj_dv * fo) * hh_sel - 0.5
                             x0 = jnp.floor(x)
                             y0 = jnp.floor(yy)
-                            fx = x - x0
-                            fy = yy - y0
                             x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
                             y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
-                            xsel = jnp.where(m, x0w + bx_sel - ox_j + fx, -2.0)
-                            ysel = jnp.where(m, y0w + by_sel - oy_j + fy, -2.0)
-                            planes = _bilinear_chunk(
-                                win,
-                                j - j_lo,
-                                (word >> 1) & 0xFF,
-                                (word >> 9) & 0x7,
-                                (word >> 12) & 0x3,
-                                (word >> 14) & 0x3,
-                                xsel,
-                                ysel,
-                                wdtype,
+                            xsel = jnp.where(m, x0w + bx_sel + (x - x0), -2.0)
+                            ysel = jnp.where(m, y0w + by_sel + (yy - y0), -2.0)
+                            return xsel, ysel
+
+                        np_s = ((word >> 16) & 0xF) + 1
+                        planes = _slot_accumulate(
+                            win,
+                            j - j_lo,
+                            word,
+                            probe_sel,
+                            np_s,
+                            rc,
+                            tile_w,
+                            wdtype,
+                        )
+                        for c in range(4):
+                            sacc[c, rows, :] += jnp.where(
+                                own_j, planes[c], 0.0
                             )
-                            for c in range(4):
-                                sacc[c, rows, :] += jnp.where(
-                                    own_j, planes[c], 0.0
-                                )
-                                sacc[4 + c, rows, :] += jnp.where(
-                                    par_j, planes[c], 0.0
-                                )
+                            sacc[4 + c, rows, :] += jnp.where(
+                                par_j, planes[c], 0.0
+                            )
 
-                        return 0
+                    return 0
 
-                    return jax.lax.fori_loop(j_lo, j_hi, slot_body, 0)
-
-                if max_anisotropy > 1:
-                    jax.lax.fori_loop(0, np_ref[cbase], probe_body, 0)
-                else:
-                    probe_body(jnp.int32(0), 0)
-                return 0
+                return jax.lax.fori_loop(j_lo, j_hi, slot_body, 0)
 
             jax.lax.fori_loop(0, nc, chunk_body, 0)
 
@@ -751,13 +790,14 @@ def sample_tiles(
     h = tiles_y * tile_h
     w = tiles_x * tile_w
     wdtype = jnp.bfloat16
-    assert tile_h % RC == 0, "tile_h must be a multiple of the row chunk"
+    rc = rc_for(tile_h)
 
     kernel = functools.partial(
         _sampler_kernel,
         tile_h=tile_h,
         tile_w=tile_w,
         max_anisotropy=max_anisotropy,
+        rc=rc,
         wdtype=wdtype,
         light_direction=light_direction,
         light_color=light_color,
@@ -767,7 +807,7 @@ def sample_tiles(
         blend=blend,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=5,
         grid=(t_total,),
         in_specs=[
             pl.BlockSpec(
@@ -807,7 +847,6 @@ def sample_tiles(
         plan["slot_oy"],
         plan["slot_ox"],
         plan["chunk_pack"],
-        plan["chunk_np"],
         gbuf,
         plan["assign"],
         camera_position.reshape(1, 3),

@@ -64,14 +64,15 @@ def render_frame_sharded(
             **frame_kwargs,
         )
         total_overflow = jax.lax.psum(out["bin_overflow"], axis)
-        return out["color"], out["depth"], total_overflow
+        total_miss = jax.lax.psum(out["window_miss_px"], axis)
+        return out["color"], out["depth"], total_overflow, total_miss
 
-    color, depth, overflow = jax.shard_map(
+    color, depth, overflow, window_miss = jax.shard_map(
         slab_fn,
         mesh=mesh,
         in_specs=(P(), P(), P()),
         # Color is channel-planar (4, H, W): slabs concatenate on rows.
-        out_specs=(P(None, axis, None), P(axis, None), P()),
+        out_specs=(P(None, axis, None), P(axis, None), P(), P()),
         # Pallas calls don't carry varying-mesh-axis metadata yet.
         check_vma=False,
     )(scene, view_proj, camera_position)
@@ -79,6 +80,7 @@ def render_frame_sharded(
         "color": color[:, :height, :width],
         "depth": depth[:height, :width],
         "bin_overflow": overflow,
+        "window_miss_px": window_miss,
     }
 
 
