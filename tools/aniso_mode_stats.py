@@ -41,7 +41,7 @@ def main() -> int:
     from tpurast.renderer import Renderer
     from tpurast import math3d
 
-    scene = load_named_scene(args.scene)
+    scene = load_named_scene(args.scene, "/root/reference/data")
     cfg = RendererConfig(
         width=args.width, height=args.height,
         max_anisotropy=args.max_anisotropy,
@@ -49,12 +49,20 @@ def main() -> int:
     r = Renderer(scene, cfg)
     fwd = math3d.WORLD_SPACE.forward.vector()
     cam = Camera.from_target(fwd * -2.5, fwd)
-    g = np.asarray(r.render(cam, output="gbuf")["gbuf"], np.float32)
+    g = np.asarray(r.debug_gbuf(cam), np.float32)
 
     matched = g[16] > 0.0
     span = g[17]
     n_px = np.asarray(
-        shade.probe_count(jnp.asarray(span), args.max_anisotropy), np.float32
+        shade.probe_count(
+            jnp.asarray(span),
+            jnp.asarray(g[14]),
+            jnp.asarray(g[15]),
+            jnp.asarray(g[9]),
+            jnp.asarray(g[10]),
+            args.max_anisotropy,
+        ),
+        np.float32,
     )
     stats = {"matched": int(matched.sum())}
     for lvl, (wi, hi) in {"own": (9, 10), "parent": (11, 12)}.items():

@@ -12,8 +12,12 @@ windows per (chart, mip) instead of per (texture, mip) is what makes
 fragmented-UV meshes (e.g. stanford_dragon bound to a 2048^2 texture)
 windowable instead of falling back to per-pixel gathers.
 
-Chart ids are assigned per scene at build time (device/scene.py) and
-ride the resolve G-buffer as a per-face constant, like the texture id.
+Status: the windowed sampler's page-coordinate covering
+(kernels/sampler.py + device/pages.py) subsumed chart-keyed planning —
+one page coordinate system already gives every (texture, mip) rect a
+compact anchor range, so charts are NOT computed at scene build or
+uploaded to the device. This module stays host-side for UV-layout
+analysis tooling (tools/residual_analysis.py).
 """
 
 from __future__ import annotations

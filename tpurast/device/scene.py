@@ -71,8 +71,11 @@ class DeviceScene:
     corner_normal: np.ndarray | None = None  # (Fp, 3, 3) f32
     corner_uv: np.ndarray | None = None  # (Fp, 3, 2) f32
     face_tex: np.ndarray | None = None  # (Fp,) i32 = prim_tex[face_prim]
-    # UV chart id per face (device/charts.py) for the windowed sampler's
-    # tile planning; padding faces get chart 0.
+    # Retired fields kept for pickle compatibility with cached scenes:
+    # UV chart ids (device/charts.py) fed an earlier windowed-sampler
+    # plan; the page-coordinate covering subsumed them, so they are no
+    # longer computed, uploaded, or read (host tooling that wants charts
+    # calls charts.face_charts directly, e.g. tools/residual_analysis.py).
     face_chart: np.ndarray | None = None  # (Fp,) i32
     n_charts: int = 1
 
@@ -108,11 +111,6 @@ class DeviceScene:
                 self.face_tex
                 if self.face_tex is not None
                 else self.prim_tex[self.face_prim]
-            ),
-            "face_chart": jnp.asarray(
-                self.face_chart
-                if self.face_chart is not None
-                else np.zeros(self.faces.shape[0], np.int32)
             ),
         }
         if self.pages is not None:
@@ -224,10 +222,7 @@ def build_scene(
     fpad = max(face_pad, _round_up(n_faces, face_pad))
     vpad = max(vert_pad, _round_up(n_vertices, vert_pad))
 
-    from tpurast.device.charts import face_charts
-
     faces_padded = _pad_to(fc, fpad)
-    chart = face_charts(faces_padded, n_faces, max(n_vertices, 1))
     prim_tex_arr = np.asarray(prim_tex if prim_tex else [0], dtype=np.int32)
     face_prim_padded = _pad_to(fp, fpad)
     scene = DeviceScene(
@@ -246,8 +241,6 @@ def build_scene(
         texture_uris=texture_uris,
         pages=pages_mod.build_pages(pyramids),
         face_tex=prim_tex_arr[face_prim_padded],
-        face_chart=chart,
-        n_charts=int(chart.max()) + 1 if n_faces else 1,
     )
     scene.corner_tables()
     return scene

@@ -160,7 +160,9 @@ def _probe_extent_anchors(g, max_anisotropy: int):
     tw0, th0, tw1, th1 = g[9], g[10], g[11], g[12]
     span = g[17]
     if max_anisotropy > 1:
-        n_px = _shade.probe_count(span, max_anisotropy)
+        n_px = _shade.probe_count(
+            span, g[14], g[15], tw0, th0, max_anisotropy
+        )
     else:
         n_px = jnp.ones_like(span)
     fo_ext = (0.5 - 0.5 / n_px) * span
@@ -246,16 +248,27 @@ def _plan_kernel(
 
             @pl.when(ymin < big * 0.5)
             def _seed():
-                band_o = t_o & (anch[1] < ymin + COV_Y)
-                band_p = t_p & (anch[5] < ymin + COV_Y)
+                # Absorb against the window's ACTUAL (ALIGN-rounded)
+                # origin, not the worst-case COV_* slack: page rects
+                # x-align to ALIGN_X (device/pages.py shelf pack), so a
+                # whole 256-wide mip — whose wrap-crossing pixels get a
+                # full-mip anchor range [0, w-1] from the mod in
+                # _probe_extent_anchors — fits one window (256+ghost+
+                # bilinear << WW at slack ~1) where the COV_X test
+                # rejected it by one texel and burned every slot.
+                # Margins: +1 bilinear neighbor +1 f32 safety.
+                oy = ymin - jnp.floor(ymin / ALIGN_Y) * ALIGN_Y
+                band_o = t_o & (anch[1] < ymin - oy + (WH - 2))
+                band_p = t_p & (anch[5] < ymin - oy + (WH - 2))
                 xmin = jnp.min(
                     jnp.minimum(
                         jnp.where(band_o, anch[2], big),
                         jnp.where(band_p, anch[6], big),
                     )
                 )
-                win_o = band_o & (anch[3] < xmin + COV_X)
-                win_p = band_p & (anch[7] < xmin + COV_X)
+                oxs = xmin - jnp.floor(xmin / ALIGN_X) * ALIGN_X
+                win_o = band_o & (anch[3] < xmin - oxs + (WW - 2))
+                win_p = band_p & (anch[7] < xmin - oxs + (WW - 2))
                 win_p = win_p & (~win_o | share_ok)
                 sf = s.astype(jnp.float32)
                 assign_ref[0] = jnp.where(win_o, sf, assign_ref[0])
@@ -668,7 +681,9 @@ def _sampler_kernel(
                 assign_p = assign_ref[1, rows, :]
                 cbase = t * nc + ci
                 if max_anisotropy > 1:
-                    n_px = _shade.probe_count(span, max_anisotropy)
+                    n_px = _shade.probe_count(
+                        span, maj_du, maj_dv, tw0, th0, max_anisotropy
+                    )
                 else:
                     n_px = jnp.ones_like(span)
 
@@ -746,7 +761,9 @@ def _sampler_kernel(
         tfrac = g[13]
         t_i = 1.0 - tfrac
         if max_anisotropy > 1:
-            npx_full = _shade.probe_count(g[17], max_anisotropy)
+            npx_full = _shade.probe_count(
+                g[17], g[14], g[15], g[9], g[10], max_anisotropy
+            )
         else:
             npx_full = jnp.ones((tile_h, tile_w), jnp.float32)
         shade_out(

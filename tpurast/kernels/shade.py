@@ -278,17 +278,28 @@ def aniso_footprint(rho2_x, rho2_y, du_dx, du_dy, dv_dx, dv_dy, n: int):
     return rho2_used, maj_du, maj_dv, span
 
 
-def probe_count(span, n: int):
-    """Per-PIXEL probe count (f32): ceil of the anisotropy ratio implied
-    by span (= 1 - 1/ratio_c), clamped to [1, n]. Hardware samplers take
-    ~ratio taps, not maxAnisotropy taps; isotropic pixels pay one.
+def probe_count(span, maj_du, maj_dv, tw0, th0, n: int):
+    """Per-PIXEL probe count (f32) from the footprint's EFFECTIVE texel
+    extent at the pixel's selected own mip level, clamped to [1, n].
+
+    The probe train covers `span` of the major-axis gradient; its length
+    at the selected level is (|maj_du|*span*tw0, |maj_dv|*span*th0)
+    texels. ceil of the Chebyshev length spaces probes <= ~1.4 texels
+    apart (hardware samplers take ~ratio taps of ~1-texel spacing). The
+    abstract anisotropy RATIO alone over-counts wherever the lod clamp
+    collapsed the footprint: at the mip-chain tail (tiny textures, deep
+    minification) the whole probe train lands inside one texel and every
+    probe returns the same bilinear — ratio-count probes there are pure
+    waste, measured 99.99%% of demo-scene pixels at ratio >= 2 but 88%%
+    with sub-texel trains (tools/aniso_mode_stats.py). Isotropic pixels
+    have span 0 and pay one probe, exactly as before.
 
     This exact expression is shared by the gather loops here and the
     windowed sampler's plan + sample kernels (kernels/sampler.py), so
     every path integrates the identical quadrature."""
-    span_c = jnp.clip(span, 0.0, 1.0 - 1.0 / n)
+    ext = jnp.maximum(jnp.abs(maj_du) * tw0, jnp.abs(maj_dv) * th0) * span
     return jnp.clip(
-        jnp.ceil(1.0 / (1.0 - span_c) - jnp.float32(1e-4)), 1.0, jnp.float32(n)
+        jnp.ceil(ext - jnp.float32(1e-4)), 1.0, jnp.float32(n)
     )
 
 
@@ -411,11 +422,19 @@ def shade_deferred(
         rho2_used, maj_du, maj_dv, span = aniso_footprint(
             rho2_x, rho2_y, du_dx, du_dy, dv_dx, dv_dy, n
         )
-        # Per-pixel probe count (probe_count): only pixels whose ratio
-        # needs probe i contribute to it, and positions/normalization
-        # use the pixel's own count — identical quadrature to the
-        # windowed sampler's data-dependent probe loop.
-        npx = probe_count(span, n)
+        # Per-pixel probe count (probe_count): only pixels whose
+        # footprint needs probe i contribute to it, and positions/
+        # normalization use the pixel's own count — identical quadrature
+        # to the windowed sampler's data-dependent probe loop. The own
+        # mip level's dims give the effective extent (XLA CSEs this
+        # lod math with trilinear()'s interior).
+        lod_pc = jnp.clip(
+            0.5 * jnp.log2(jnp.maximum(rho2_used, 1e-24)),
+            0.0,
+            (n_mips - 1).astype(jnp.float32),
+        )
+        _, tw0_pc, th0_pc = level_fields(jnp.floor(lod_pc).astype(jnp.int32))
+        npx = probe_count(span, maj_du, maj_dv, tw0_pc, th0_pc, n)
         acc = [0.0, 0.0, 0.0, 0.0]
         for i in range(n):
             live = jnp.float32(i) < npx
@@ -493,7 +512,9 @@ def shade_gbuffer(
     else:
         n_probes = int(max_anisotropy)
         # Per-pixel probe counts — see probe_count / shade_deferred.
-        npx = probe_count(span, n_probes)
+        npx = probe_count(
+            span, maj_du, maj_dv, g(9), g(10), n_probes
+        )
         acc = [0.0, 0.0, 0.0, 0.0]
         for i in range(n_probes):
             live = jnp.float32(i) < npx
