@@ -14,11 +14,12 @@ quad rows:
 
   * one channel-planar page array (4, PH, PW) holding every (texture,
     mip) as a rect at (oy, ox);
-  * each rect has a ONE-TEXEL ghost border on all sides (wrapped copy of
-    the opposite edge), so any bilinear footprint of a wrapped sample
-    point x0 in [-1, w-1] reads contiguous rows — repeat addressing
-    (the reference sampler state, src/Renderer.zig:506-527) never
-    splits a window at the seam;
+  * each rect has wrapped ghost borders (copies of the opposite edge):
+    1 texel on axes where the whole mip fits one window, WRAP_GHOST
+    texels on bigger axes — so repeat addressing (the reference sampler
+    state, src/Renderer.zig:506-527) never splits a window at the seam:
+    a seam-crossing footprint anchors at its wrapped lo texel and reads
+    its tail from the ghost copies (kernels/sampler.py wrap scheme);
   * rects are shelf-packed; the page is padded by one max-window margin
     on the bottom/right so clamped window DMAs never leave the array.
 
@@ -78,9 +79,36 @@ class TexturePages:
         }
 
 
-def _rect_with_border(m: np.ndarray) -> np.ndarray:
-    """(H, W, 4) mip -> (H+2, W+2, 4) with wrapped 1-texel ghost border."""
-    return np.pad(m, ((1, 1), (1, 1), (0, 0)), mode="wrap")
+def _border_for(h: int, w: int) -> tuple[int, int]:
+    """Per-axis ghost border width for a mip rect (kernels/sampler.py
+    wrap scheme): small axes (mip fits a window whole) keep the 1-texel
+    bilinear border; big axes get WRAP_GHOST wrapped texels on BOTH
+    sides so a seam-crossing footprint anchored at its wrapped lo can
+    read its tail past the mip edge from one contiguous window."""
+    from tpurast.kernels.sampler import (
+        WRAP_GHOST,
+        X_WRAP_LIM,
+        Y_WRAP_LIM,
+    )
+
+    return (
+        1 if h <= Y_WRAP_LIM else WRAP_GHOST,
+        1 if w <= X_WRAP_LIM else WRAP_GHOST,
+    )
+
+
+def _rect_with_border(m: np.ndarray, by: int, bx: int) -> np.ndarray:
+    """(H, W, 4) mip -> (H+2by, W+2bx, 4) with wrapped ghost borders."""
+    # np.pad(mode="wrap") requires pad <= dim; tile first when the
+    # border exceeds the mip (only possible for degenerate mid-chain
+    # sizes — tail mips take the 1-texel branch).
+    h, w = m.shape[:2]
+    if by > h or bx > w:
+        reps = (-(-by // h) * 2 + 1, -(-bx // w) * 2 + 1, 1)
+        t = np.tile(m, reps)
+        cy, cx = (reps[0] // 2) * h, (reps[1] // 2) * w
+        return t[cy - by : cy + h + by, cx - bx : cx + w + bx]
+    return np.pad(m, ((by, by), (bx, bx), (0, 0)), mode="wrap")
 
 
 # Mip-tail region geometry: rects at most this tall/wide pack densely
@@ -107,14 +135,16 @@ def build_pages(textures: list[list[np.ndarray]]) -> TexturePages:
     sizes = np.ones((n_tex, MAX_MIPS, 2), dtype=np.int32)
     n_mips = np.zeros(n_tex, dtype=np.int32)
 
-    rects = []  # (h+2, w+2, ti, mi)
+    rects = []  # (h+2by, w+2bx, ti, mi)
+    borders = {}
     for ti, mips in enumerate(textures):
         assert len(mips) <= MAX_MIPS
         n_mips[ti] = len(mips)
         for mi, m in enumerate(mips):
             h, w = m.shape[:2]
             sizes[ti, mi] = (w, h)
-            rects.append((h + 2, w + 2, ti, mi))
+            by, bx = borders[(ti, mi)] = _border_for(h, w)
+            rects.append((h + 2 * by, w + 2 * bx, ti, mi))
         for mi in range(len(mips), MAX_MIPS):
             sizes[ti, mi] = sizes[ti, len(mips) - 1]
 
@@ -166,11 +196,14 @@ def build_pages(textures: list[list[np.ndarray]]) -> TexturePages:
     for ti, mips in enumerate(textures):
         for mi, m in enumerate(mips):
             oy, ox = placements[(ti, mi)]
-            r = _rect_with_border(np.asarray(m, dtype=np.float32))
+            by, bx = borders[(ti, mi)]
+            r = _rect_with_border(np.asarray(m, dtype=np.float32), by, bx)
             planes[:, oy : oy + r.shape[0], ox : ox + r.shape[1]] = np.moveaxis(
                 r, -1, 0
             )
-            origins[ti, mi] = (oy, ox)
+            # The origin convention points at ghost texel (-1, -1)
+            # regardless of border width (resolve's page_base = origin+1).
+            origins[ti, mi] = (oy + by - 1, ox + bx - 1)
         for mi in range(len(mips), MAX_MIPS):
             origins[ti, mi] = origins[ti, len(mips) - 1]
     return TexturePages(

@@ -23,7 +23,7 @@ log = logging.getLogger("tpurast.device")
 
 CACHE_DIR = os.environ.get("TPURAST_SCENE_CACHE_DIR", "/root/repo/.scene_cache")
 
-CACHE_VERSION = 3
+CACHE_VERSION = 4
 
 
 def load_scene_cached(name: str, loader, *args, **kwargs):

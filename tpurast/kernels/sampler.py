@@ -113,6 +113,24 @@ CLS_WINDOWED = 0
 CLS_EMPTY = 2
 CLS_RESIDUAL = 3
 
+# Repeat-addressing wrap scheme thresholds (shared by the plan's anchor
+# computation, the sampling kernel's probe coordinates, and the page
+# packer's ghost-border sizing — device/pages.py):
+#   * mips at most this wide/tall fit a window WHOLE (incl. worst
+#     alignment slack), so a wrap-crossing anchor range can use plain
+#     min/max — the window covers both sides of the seam as real texels.
+#   * bigger mips anchor the range at its wrapped LO texel and extend
+#     past the mip edge into the rect's ghost border (WRAP_GHOST wrapped
+#     texel copies on the right/bottom of big rects), so a seam-crossing
+#     footprint stays one contiguous window range instead of exploding
+#     to the whole mip.
+X_WRAP_LIM = 255.0
+Y_WRAP_LIM = 87.0
+# Max texels a footprint extends past the mip edge: probe-train extent
+# (<= maxAnisotropy 16 texels at the selected level by the ratio clamp,
+# shade.aniso_footprint) + bilinear neighbor + rounding margin.
+WRAP_GHOST = 24
+
 # Kernel blocking: pixel rows per chunk (sublane-sized), window rows
 # per y selection band, window cols per x selection band. The x-filter
 # contraction costs 4*YB*XB MACs per output (RC*tw) column — banding
@@ -169,15 +187,24 @@ def _probe_extent_anchors(g, max_anisotropy: int):
     du_ext = jnp.abs(g[14]) * fo_ext
     dv_ext = jnp.abs(g[15]) * fo_ext
 
-    def anchor(uu, ww, dd):
-        lo = jnp.mod(jnp.floor((uu - dd) * ww - 0.5), jnp.maximum(ww, 1.0))
-        hi = jnp.mod(jnp.floor((uu + dd) * ww - 0.5), jnp.maximum(ww, 1.0))
-        return jnp.minimum(lo, hi), jnp.maximum(lo, hi)
+    def anchor(uu, ww, dd, lim):
+        lo_u = jnp.floor((uu - dd) * ww - 0.5)
+        hi_u = jnp.floor((uu + dd) * ww - 0.5)
+        lo_m = jnp.mod(lo_u, jnp.maximum(ww, 1.0))
+        hi_m = jnp.mod(hi_u, jnp.maximum(ww, 1.0))
+        # Big mips (> lim): anchor the range at its wrapped lo texel;
+        # the tail past the mip edge reads the rect's WRAP_GHOST border
+        # (device/pages.py). Small mips: wrap-agnostic min/max — the
+        # whole mip fits one window, so both seam sides are real texels.
+        big = ww > lim
+        lo = jnp.where(big, lo_m, jnp.minimum(lo_m, hi_m))
+        hi = jnp.where(big, lo_m + (hi_u - lo_u), jnp.maximum(lo_m, hi_m))
+        return lo, hi
 
-    xo_lo, xo_hi = anchor(u, tw0, du_ext)
-    yo_lo, yo_hi = anchor(v, th0, dv_ext)
-    xp_lo, xp_hi = anchor(u, tw1, du_ext)
-    yp_lo, yp_hi = anchor(v, th1, dv_ext)
+    xo_lo, xo_hi = anchor(u, tw0, du_ext, X_WRAP_LIM)
+    yo_lo, yo_hi = anchor(v, th0, dv_ext, Y_WRAP_LIM)
+    xp_lo, xp_hi = anchor(u, tw1, du_ext, X_WRAP_LIM)
+    yp_lo, yp_hi = anchor(v, th1, dv_ext, Y_WRAP_LIM)
     own = (
         yo_lo + g[20], yo_hi + g[20], xo_lo + g[21], xo_hi + g[21],
     )
@@ -218,8 +245,19 @@ def _plan_kernel(
     for i in range(4):
         anch[i] = own[i]
         anch[4 + i] = par[i]
-    todo[0] = jnp.where(matched, 1.0, 0.0)
-    todo[1] = todo[0]
+    # Pre-drop pixels whose anchor range can NEVER fit a window (worst
+    # alignment slack): a greedy seed must absorb itself or the round
+    # makes no progress and the remaining slots are burned re-seeding
+    # the same pixel. Dropped pixels force the tile residual below.
+    unfit_o = (own[1] - own[0] > WH - ALIGN_Y - 2) | (
+        own[3] - own[2] > WW - ALIGN_X - 2
+    )
+    unfit_p = (par[1] - par[0] > WH - ALIGN_Y - 2) | (
+        par[3] - par[2] > WW - ALIGN_X - 2
+    )
+    unfit_any = jnp.any(matched & (unfit_o | unfit_p))
+    todo[0] = jnp.where(matched & ~unfit_o, 1.0, 0.0)
+    todo[1] = jnp.where(matched & ~unfit_p, 1.0, 0.0)
     assign_ref[0] = jnp.full((tile_h, tile_w), -1.0, jnp.float32)
     assign_ref[1] = assign_ref[0]
     st[0] = 0
@@ -290,7 +328,7 @@ def _plan_kernel(
     jax.lax.fori_loop(0, K2, round_body, 0)
 
     covered = jnp.any(matched)
-    leftover = jnp.any((todo[0] > 0.5) | (todo[1] > 0.5))
+    leftover = jnp.any((todo[0] > 0.5) | (todo[1] > 0.5)) | unfit_any
     n_used = st[1]
     cls = jnp.where(
         covered,
@@ -686,6 +724,13 @@ def _sampler_kernel(
                     )
                 else:
                     n_px = jnp.ones_like(span)
+                # Probe-extreme deltas, the same expression the plan's
+                # anchor computation used (_probe_extent_anchors) — they
+                # reconstruct each pixel's anchored-lo texel for the
+                # big-mip wrap scheme below.
+                fo_ext = (0.5 - 0.5 / n_px) * span
+                du_ext = jnp.abs(maj_du) * fo_ext
+                dv_ext = jnp.abs(maj_dv) * fo_ext
 
                 def slot_body(j, _):
                     word = pack_ref[cbase * K2 + j]
@@ -709,6 +754,23 @@ def _sampler_kernel(
                         hh_sel = jnp.where(own_j, th0, th1)
                         bx_sel = jnp.where(own_j, b_ox0, b_ox1) - ox_j
                         by_sel = jnp.where(own_j, b_oy0, b_oy1) - oy_j
+                        # Big-mip wrap scheme (_probe_extent_anchors):
+                        # the plan anchored this pixel's range at its
+                        # wrapped LO texel, extending past the mip edge
+                        # into the rect's WRAP_GHOST border. A probe
+                        # whose wrapped coord lands BELOW lo belongs to
+                        # that tail: shift it up one period so it reads
+                        # the ghost copy inside the planned bands.
+                        ww_c = jnp.maximum(ww_sel, 1.0)
+                        hh_c = jnp.maximum(hh_sel, 1.0)
+                        shift_x = jnp.where(ww_sel > X_WRAP_LIM, ww_sel, 0.0)
+                        shift_y = jnp.where(hh_sel > Y_WRAP_LIM, hh_sel, 0.0)
+                        lo_x = jnp.mod(
+                            jnp.floor((u - du_ext) * ww_sel - 0.5), ww_c
+                        )
+                        lo_y = jnp.mod(
+                            jnp.floor((v - dv_ext) * hh_sel - 0.5), hh_c
+                        )
 
                         def probe_sel(i):
                             ifl = i.astype(jnp.float32)
@@ -718,8 +780,10 @@ def _sampler_kernel(
                             yy = (v + maj_dv * fo) * hh_sel - 0.5
                             x0 = jnp.floor(x)
                             y0 = jnp.floor(yy)
-                            x0w = jnp.mod(x0, jnp.maximum(ww_sel, 1.0))
-                            y0w = jnp.mod(y0, jnp.maximum(hh_sel, 1.0))
+                            x0w = jnp.mod(x0, ww_c)
+                            y0w = jnp.mod(y0, hh_c)
+                            x0w = jnp.where(x0w < lo_x, x0w + shift_x, x0w)
+                            y0w = jnp.where(y0w < lo_y, y0w + shift_y, y0w)
                             xsel = jnp.where(m, x0w + bx_sel + (x - x0), -2.0)
                             ysel = jnp.where(m, y0w + by_sel + (yy - y0), -2.0)
                             return xsel, ysel
