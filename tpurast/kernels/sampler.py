@@ -534,8 +534,8 @@ def plan_tiles(
     }
 
 
-def _slot_accumulate(win, wj, word, probe_sel, np_s, rc, tw_px, wdtype):
-    """Accumulate ALL probes of one (chunk, slot) pair.
+def _slot_accumulate(win, wj, word, probe_sel, np_s, rc, tw_px, wdtype, pacc):
+    """Accumulate ALL probes of one (chunk, slot) pair into pacc.
 
     probe_sel(i) -> (xsel, ysel): per-pixel window-coordinate sample
     positions (anchor + fraction) for probe i, (rc, tw) f32, -2.0 where
@@ -544,14 +544,16 @@ def _slot_accumulate(win, wj, word, probe_sel, np_s, rc, tw_px, wdtype):
     and cols [xb0*XB, (xb0+nxb)*XB) of the window contain every texel
     ANY probe references (the plan's coverage test uses probe-extreme
     anchors); np_s is the slot's probe trip count (plan word bits
-    16-19). Returns 4 planes (rc, tw) f32 — the probe SUM; the caller
-    normalizes by the per-pixel count.
+    16-19). pacc (4, rc, tw) f32 scratch receives the probe SUM; the
+    caller normalizes by the per-pixel count.
 
-    Loop order is band-outer / probe-inner so the window band load (the
-    dominant probe-independent cost) runs once per band, not once per
-    probe. Per probe, x-filtering is a batched MXU contraction with
-    tent weights
-      C[r, i, c] = max(0, 1 - |i - xsel(r, c)|)
+    The band grid is a STATIC (WH//YB x NXB) unroll with pl.when guards
+    — a dynamic-trip fori_loop costs more in Mosaic loop overhead per
+    band than the band's own matmul (measured: most slots plan exactly
+    one band). Loop order stays band-outer / probe-inner so the window
+    band load runs once per band, not once per probe. Per probe,
+    x-filtering is a batched MXU contraction with tent weights
+      C[i, r, c] = max(0, 1 - |i - xsel(r, c)|)
     which places (1-fx, fx) at the two x-neighbors; y-filtering is a
     tent over the band rows on the VPU, against ABSOLUTE window
     coordinates (bands are disjoint, so multi-band sums add exact
@@ -564,55 +566,70 @@ def _slot_accumulate(win, wj, word, probe_sel, np_s, rc, tw_px, wdtype):
     xb0 = (word >> 12) & 0x3
     nxb = (word >> 14) & 0x3
 
-    def yband(ky, p4):
-        ystart = pl.multiple_of(b0 + ky * YB, ALIGN_Y)
+    for c in range(4):
+        pacc[c] = jnp.zeros((rc, tw_px), jnp.float32)
 
-        def xband(kx, q4):
-            xstart = pl.multiple_of((xb0 + kx) * XB, XB)
-            tband = (
-                win[wj, :, pl.ds(ystart, YB), pl.ds(xstart, XB)]
-                .reshape(4 * YB, XB)
-                .astype(wdtype)
-            )
+    for ky in range(WH // YB):
+        for kx in range(NXB):
 
-            def probe(i, s4):
-                xsel, ysel = probe_sel(i)
-                twc = xsel.shape[1]
-                iy = jax.lax.broadcasted_iota(
-                    jnp.int32, (YB, rc, twc), 0
-                ).astype(jnp.float32)
-                ixb = jax.lax.broadcasted_iota(
-                    jnp.int32, (rc, XB, twc), 1
-                ).astype(jnp.float32)
-                ry = jnp.maximum(
-                    0.0,
-                    1.0
-                    - jnp.abs(iy + ystart.astype(jnp.float32) - ysel[None, :, :]),
+            @pl.when((ky < nyb) & (kx < nxb))
+            def _band(ky=ky, kx=kx):
+                ystart = pl.multiple_of(b0 + ky * YB, ALIGN_Y)
+                xstart = pl.multiple_of((xb0 + kx) * XB, XB)
+                tband = (
+                    win[wj, :, pl.ds(ystart, YB), pl.ds(xstart, XB)]
+                    .reshape(4 * YB, XB)
+                    .astype(wdtype)
                 )
-                cw = jnp.maximum(
-                    0.0,
-                    1.0
-                    - jnp.abs(ixb + xstart.astype(jnp.float32) - xsel[:, None, :]),
-                ).astype(wdtype)
-                # One batched contraction x-filters all 4 channels. Both
-                # operands are explicitly bf16 (texels 2^-11 -> 2^-9, tent
-                # weights 2^-9) so compiled MXU and interpret mode agree up
-                # to accumulation order; f32 accumulation via
-                # preferred_element_type.
-                b = jax.lax.dot_general(
-                    tband,
-                    cw,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).reshape(4, YB, rc, twc)
-                return [s4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)]
 
-            return jax.lax.fori_loop(0, np_s, probe, q4)
+                def probe(i, s4):
+                    xsel, ysel = probe_sel(i)
+                    twc = xsel.shape[1]
+                    iy = jax.lax.broadcasted_iota(
+                        jnp.int32, (YB, rc, twc), 0
+                    ).astype(jnp.float32)
+                    # cw is built XB-MAJOR — (XB, rc, tw), contracting
+                    # dim 0 — so the MXU sees its RHS (K=XB, N=rc*tw) in
+                    # its natural layout; building it (rc, XB, tw) and
+                    # contracting dim 1 forces Mosaic to relayout all
+                    # 262K weights per probe, which dominated the whole
+                    # sample stage.
+                    ixb = jax.lax.broadcasted_iota(
+                        jnp.int32, (XB, rc, twc), 0
+                    ).astype(jnp.float32)
+                    ry = jnp.maximum(
+                        0.0,
+                        1.0
+                        - jnp.abs(
+                            iy + ystart.astype(jnp.float32) - ysel[None, :, :]
+                        ),
+                    )
+                    cw = jnp.maximum(
+                        0.0,
+                        1.0
+                        - jnp.abs(
+                            ixb + xstart.astype(jnp.float32) - xsel[None, :, :]
+                        ),
+                    ).astype(wdtype)
+                    # One batched contraction x-filters all 4 channels.
+                    # Both operands are explicitly bf16 (texels 2^-11 ->
+                    # 2^-9, tent weights 2^-9) so compiled MXU and
+                    # interpret mode agree up to accumulation order; f32
+                    # accumulation via preferred_element_type.
+                    b = jax.lax.dot_general(
+                        tband,
+                        cw,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(4, YB, rc, twc)
+                    return [
+                        s4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)
+                    ]
 
-        return jax.lax.fori_loop(0, nxb, xband, p4)
-
-    zero = [jnp.zeros((rc, tw_px), jnp.float32)] * 4
-    return jax.lax.fori_loop(0, nyb, yband, zero)
+                zero = [jnp.zeros((rc, tw_px), jnp.float32)] * 4
+                s4 = jax.lax.fori_loop(0, np_s, probe, zero)
+                for c in range(4):
+                    pacc[c] += s4[c]
 
 
 def _sampler_kernel(
@@ -632,6 +649,7 @@ def _sampler_kernel(
     # scratch
     win,  # VMEM (K, 4, WH, WW) — resident slots of the CURRENT wave
     sacc,  # VMEM (8, th, tw) f32 own/parent probe sums
+    pacc,  # VMEM (4, rc, tw) f32 one (chunk, slot)'s probe sum
     sem,  # DMA sem (K,)
     *,
     tile_h: int,
@@ -789,7 +807,7 @@ def _sampler_kernel(
                             return xsel, ysel
 
                         np_s = ((word >> 16) & 0xF) + 1
-                        planes = _slot_accumulate(
+                        _slot_accumulate(
                             win,
                             j - j_lo,
                             word,
@@ -798,13 +816,14 @@ def _sampler_kernel(
                             rc,
                             tile_w,
                             wdtype,
+                            pacc,
                         )
                         for c in range(4):
                             sacc[c, rows, :] += jnp.where(
-                                own_j, planes[c], 0.0
+                                own_j, pacc[c], 0.0
                             )
                             sacc[4 + c, rows, :] += jnp.where(
-                                par_j, planes[c], 0.0
+                                par_j, pacc[c], 0.0
                             )
 
                     return 0
@@ -914,6 +933,7 @@ def sample_tiles(
         scratch_shapes=[
             pltpu.VMEM((K, 4, WH, WW), page.dtype),
             pltpu.VMEM((8, tile_h, tile_w), jnp.float32),
+            pltpu.VMEM((4, rc, tile_w), jnp.float32),
             pltpu.SemaphoreType.DMA((K,)),
         ],
     )

@@ -30,6 +30,10 @@ from tpurast.kernels import geometry, present, raster, resolve, shade
 
 log = logging.getLogger("tpurast.renderer")
 
+#: Residual-tile budget of the compact gather fallback: frames with more
+#: unwindowable tiles than this (pathological) pay a full-frame gather.
+RT_CAP = 64
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -100,7 +104,7 @@ def _shade_windowed(
     t_total = tiles_x * tiles_y
     resid = plan["residual_tile"]  # (T,) bool
     n_resid = jnp.sum(resid.astype(jnp.int32))
-    rt_cap = min(64, t_total)
+    rt_cap = min(RT_CAP, t_total)
 
     def compact_fallback(_):
         # First rt_cap residual tiles in raster order via one top_k.
