@@ -103,6 +103,34 @@ def test_pages_ghost_border_wraps():
             np.testing.assert_array_equal(rect[1:-1, -1], m[:, 0])
 
 
+def test_pages_wrap_ghost_border_big_mip():
+    """Mips wider/taller than one window (kernels/sampler.py wrap limits)
+    carry WRAP_GHOST wrapped texels per side on the big axes, so a
+    seam-crossing footprint anchored at its wrapped lo texel can read
+    its tail past the mip edge from contiguous ghost copies."""
+    from tpurast.kernels.sampler import WRAP_GHOST, X_WRAP_LIM, Y_WRAP_LIM
+
+    rng = np.random.default_rng(3)
+    big = rng.uniform(0, 1, (128, 512, 4)).astype(np.float32)
+    assert big.shape[1] > X_WRAP_LIM and big.shape[0] > Y_WRAP_LIM
+    pages = pages_mod.build_pages([[big]])
+    oy, ox = pages.origins[0, 0]  # convention: ghost texel (-1, -1)
+    h, w = big.shape[:2]
+    g = WRAP_GHOST
+    # Interior matches; origin points one texel into the ghost border.
+    rect = np.moveaxis(
+        pages.planes[:, oy - g + 1 : oy + h + g + 1, ox - g + 1 : ox + w + g + 1],
+        0,
+        -1,
+    )
+    np.testing.assert_array_equal(rect[g : g + h, g : g + w], big)
+    # Right/bottom ghost columns are wrapped copies of the left/top edge.
+    np.testing.assert_array_equal(rect[g : g + h, g + w : g + w + g], big[:, :g])
+    np.testing.assert_array_equal(rect[g : g + h, :g], big[:, -g:])
+    np.testing.assert_array_equal(rect[g + h :, g : g + w], big[:g, :])
+    np.testing.assert_array_equal(rect[:g, g : g + w], big[-g:, :])
+
+
 def test_pages_tail_packed_and_clamped():
     textures, pages = _toy_pages()
     # Small "tail" mips pack densely into a TAIL_W-wide strip at the
