@@ -21,6 +21,10 @@ from tpurast.config import RendererConfig
 from tpurast.device.scene import load_demo_scene, load_hdr_scene
 from tpurast.renderer import Renderer
 
+# Long CPU-interpret renders: excluded from the fast subset
+# (`pytest -m 'not slow'`, see README testing section).
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
 
 

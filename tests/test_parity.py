@@ -24,6 +24,10 @@ from tpurast.camera import Camera
 from tpurast.config import RendererConfig
 from tpurast.renderer import Renderer
 
+# Long CPU-interpret renders: excluded from the fast subset
+# (`pytest -m 'not slow'`, see README testing section).
+pytestmark = pytest.mark.slow
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 POSES = json.load(open(REPO / "docs" / "parity" / "poses.json"))
 W, H = 256, 144

@@ -75,6 +75,7 @@ def test_depth_ordering_crate_in_front_of_floor(renderer):
     assert crate_d > wall_d > 0
 
 
+@pytest.mark.slow
 def test_resize_recreates_target(demo_scene):
     r = Renderer(demo_scene, RendererConfig(width=96, height=64, segment_headroom=192))
     out = r.render_to_host(demo_camera())
@@ -84,6 +85,7 @@ def test_resize_recreates_target(demo_scene):
     assert out2.shape == (72, 128, 4)
 
 
+@pytest.mark.slow
 def test_srgb8_atlas_matches_float(demo_scene):
     # srgb8 texel storage (u8 sRGB rows + exact in-sampler EOTF) must
     # reproduce the float path within 1 output LSB: the BC7 sources ARE
@@ -101,6 +103,7 @@ def test_srgb8_atlas_matches_float(demo_scene):
     assert diff.max() <= 1, f"srgb8 vs float32 max diff {diff.max()}"
 
 
+@pytest.mark.slow
 def test_blend_state_opaque_content_invariant(demo_scene):
     # The reference's blend state (srcAlpha/1-srcAlpha + add, alpha
     # zero/one; src/Renderer.zig:447-458) with the shader's constant
@@ -132,6 +135,7 @@ def test_blend_planes_translucent():
     assert (out[3] == 1.0).all()
 
 
+@pytest.mark.slow
 def test_zero_extent_defers_recreation(demo_scene):
     # Minimized-window semantics (src/Renderer.zig:631-636): a zero
     # extent must not produce a zero-tile target; recreation is deferred

@@ -44,6 +44,7 @@ def _render_pair(scene, cam, **cfg_kw):
     return frames
 
 
+@pytest.mark.slow
 def test_windowed_matches_gather_trilinear(demo_scene):
     cam = Camera.from_target(
         np.array([1.2 * np.sin(0.4), 0.75, -1.2 * np.cos(0.4)], np.float32),
@@ -176,6 +177,7 @@ def _checker_scene():
     return build_scene([floor], memory_assets={"mem://checker.ktx2": blob})
 
 
+@pytest.mark.slow
 def test_aniso16_matches_supersampled_oracle():
     """Anisotropy-16 oracle (the reference sampler's default state,
     src/Renderer.zig:515): a checkered plane at a grazing angle, rendered

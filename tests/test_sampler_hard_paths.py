@@ -37,6 +37,10 @@ from tpurast.device.scene import build_scene
 from tpurast.kernels import sampler as ksampler
 from tpurast.renderer import Renderer
 
+# Long CPU-interpret renders: excluded from the fast subset
+# (`pytest -m 'not slow'`, see README testing section).
+pytestmark = pytest.mark.slow
+
 
 def _patch_quad(center_xz, size, uri, u0=0.45, du=0.04):
     """Floor quad showing the [u0, u0+du]^2 patch of its texture."""

@@ -11,6 +11,10 @@ from tpurast.device.scene import load_demo_scene
 from tpurast.parallel import make_sharded_renderer
 from tpurast.renderer import Renderer
 
+# Long CPU-interpret renders: excluded from the fast subset
+# (`pytest -m 'not slow'`, see README testing section).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def demo_scene(data_dir):

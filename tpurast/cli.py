@@ -1,20 +1,43 @@
 """tpurast-bench CLI: the benchmark entry point (see repo bench.py).
 
 Prints ONE JSON line with fps/p50/Mtris plus the honest present-loop
-(host-visible) frame rate and the dropped-pair counter.
+(host-visible) frame rate and the dropped-pair counter. `--stages` adds
+a per-stage device-time decomposition (stage_ms) to the line; `--all`
+runs every BASELINE benchmark config and prints one line each (see
+BASELINE.md):
+
+  #1/#5 demo @1080p (+ flythrough present loop, part of every run)
+  #2     porsche_class @1080p (12x 2048^2 BC7 multi-material stand-in)
+  #3     hdr @1080p (BC6H + BC4u trilinear)
+  #4     dragons64 @4K (64x instanced tiled binning)
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+#: BASELINE benchmark configs for --all: (extra argv, config label).
+ALL_CONFIGS = [
+    (["--scene", "demo", "--width", "1920", "--height", "1080"], "demo_1080p"),
+    (
+        ["--scene", "porsche_class", "--width", "1920", "--height", "1080"],
+        "porsche_class_1080p",
+    ),
+    (["--scene", "hdr", "--width", "1920", "--height", "1080"], "hdr_1080p"),
+    (
+        ["--scene", "dragons64", "--width", "3840", "--height", "2160"],
+        "dragons64_4k",
+    ),
+]
 
-def main() -> int:
+
+def _build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
@@ -45,7 +68,48 @@ def main() -> int:
         "--skip-parity-gate", action="store_true",
         help="skip the compiled-vs-interpret TPU parity check",
     )
+    ap.add_argument(
+        "--stages", action="store_true",
+        help="add per-stage device timing (stage_ms) to the JSON line",
+    )
+    ap.add_argument(
+        "--all", action="store_true",
+        help="run every BASELINE benchmark config (one JSON line each)",
+    )
+    return ap
+
+
+def _run_all(argv_rest: list[str]) -> int:
+    """Run each BASELINE config in its own subprocess (fresh device
+    memory per scene — the 4K instanced and porsche-class scenes
+    each want the whole chip) and forward the JSON lines."""
+    rc_all = 0
+    for extra, label in ALL_CONFIGS:
+        cmd = [sys.executable, "-m", "tpurast.cli", *extra, *argv_rest]
+        print(f"# config {label}: {' '.join(cmd[2:])}", file=sys.stderr)
+        rc = subprocess.call(cmd)
+        rc_all = rc_all or rc
+    return rc_all
+
+
+def main() -> int:
+    ap = _build_parser()
     args = ap.parse_args()
+    if args.all:
+        rest = [a for a in sys.argv[1:] if a != "--all"]
+        drop_next = False
+        filtered = []
+        for a in rest:
+            if drop_next:
+                drop_next = False
+                continue
+            if a in ("--scene", "--width", "--height"):
+                drop_next = True
+                continue
+            if a.startswith(("--scene=", "--width=", "--height=")):
+                continue
+            filtered.append(a)
+        return _run_all(filtered)
 
     import jax
 
@@ -182,6 +246,12 @@ def main() -> int:
     if tail is not None:
         last_host = tail
 
+    stage_ms = None
+    if args.stages:
+        from tpurast.profiling import stage_sweep
+
+        _, stage_ms = stage_sweep(renderer, uniforms, frames=32, group=16)
+
     times_ms = np.asarray(times) * 1e3
     p50 = float(np.percentile(times_ms, 50))
     fps = 1000.0 / p50
@@ -208,6 +278,7 @@ def main() -> int:
         "dropped_pairs": dropped_total,
         "window_miss_px": window_miss_total,
         "parity_max_lsb": parity_max_lsb,
+        "stage_ms": stage_ms,
         "present_ms_per_frame": round(present_ms, 4),
         "present_fps": round(1000.0 / present_ms, 2) if present_ms > 0 else None,
         "backend": jax.default_backend(),

@@ -148,14 +148,14 @@ NXB = WW // XB
 
 
 def rc_for(tile_h: int) -> int:
-    """Chunk row height for a tile height: the largest of {32, 16, 8}
-    that divides it (config.py documents tile_h as any multiple of 8).
+    """Chunk row height for a tile height: the largest of {16, 8} that
+    divides it (config.py documents tile_h as any multiple of 8).
     Bigger chunks amortize the per-(chunk, slot) loop + matmul overhead
     over more pixels; the plan's per-chunk bands/probe counts coarsen
     accordingly."""
     if tile_h % 8 != 0:
         raise ValueError(f"tile_h must be a multiple of 8, got {tile_h}")
-    for rc in (RC, 16, 8):
+    for rc in (RC, 8):
         if tile_h % rc == 0:
             return rc
     raise AssertionError

@@ -39,6 +39,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _stage_probe(*arrs):
+    """Tiny reduction over stage outputs: a `stage=` prefix frame
+    returns this instead of the framebuffer, so XLA compiles (and the
+    profiler times) exactly the work up to that stage — on the
+    PRODUCTION path, with nothing downstream. The full-array sums cost
+    one HBM read of the stage output (sub-ms), far below any stage."""
+    s = jnp.float32(0)
+    for a in arrs:
+        s = s + jnp.sum(a.astype(jnp.float32))
+    return {"stage_probe": s}
+
+
 def _shade_windowed(
     gbuf,
     scene,
@@ -49,6 +61,7 @@ def _shade_windowed(
     tile_h: int,
     tile_w: int,
     light_kwargs,
+    stage: str | None = None,
 ):
     """Windowed sampling + in-kernel lighting (kernels/sampler.py), with
     the per-pixel gather path as a per-tile fallback for tiles whose
@@ -78,6 +91,10 @@ def _shade_windowed(
         tile_w=tile_w,
         max_anisotropy=max_anisotropy,
     )
+    if stage == "plan":
+        return _stage_probe(
+            plan["cls"], plan["n_used"], plan["chunk_pack"], plan["assign"]
+        )
     fb_win = ksampler.sample_tiles(
         gbuf,
         scene["atlas"]["page"],
@@ -90,6 +107,8 @@ def _shade_windowed(
         max_anisotropy=max_anisotropy,
         **kw,
     )
+    if stage == "sample":
+        return _stage_probe(fb_win)
 
     def shade_fallback(g):
         return shade.shade_gbuffer(
@@ -182,6 +201,7 @@ def render_frame(
     sampler: str = "gather",
     tile_row_offset=None,
     crop_height: int | None = None,
+    stage: str | None = None,
 ):
     """Pure frame function (jit-traced once per config/scene shape).
 
@@ -211,6 +231,8 @@ def render_frame(
     # gather-free — only the view-projection runs here.
     clip_c = geometry.transform_corners(scene["corner_world"], view_proj)
     setup_out = geometry.triangle_setup(clip_c, None, scene["n_faces"], width, height)
+    if stage == "geometry":
+        return _stage_probe(setup_out["setup"], setup_out["valid"], setup_out["aabb"])
     if binning == "pairs":
         bins = geometry.bin_pairs(
             setup_out["aabb"],
@@ -234,7 +256,13 @@ def render_frame(
         )
     tile_counts = bins["counts"]
     overflow = bins["overflow"]
+    if stage == "binning":
+        return _stage_probe(bins["counts"], bins["offsets"], bins["pair_faces"])
     plan = raster.plan_segments(bins, segment_headroom=segment_headroom)
+    if stage == "segments":
+        return _stage_probe(
+            plan["seg_tile"], plan["seg_slots"], plan["dropped"]
+        )
     # Face attributes come straight from the build-time corner tables —
     # no per-frame vertex gathers (see transform_corners above).
     face_world = scene["corner_world"]
@@ -261,6 +289,8 @@ def render_frame(
         clear_depth=clear_depth,
         tile_row_offset=tile_row_offset,
     )  # (2, Hp, Wp) framebuffer layout: depth, face id
+    if stage == "raster":
+        return _stage_probe(vis)
     depth = vis[0]
     dropped_segments = plan["dropped"]
     if shading == "forward":
@@ -285,8 +315,10 @@ def render_frame(
         )
         if output == "gbuf":
             return {"gbuf": gbuf, "depth": depth, "fid": vis[1].astype(jnp.int32)}
+        if stage == "resolve":
+            return _stage_probe(gbuf)
         if sampler == "window":
-            framebuffer, window_miss_px = _shade_windowed(
+            shaded = _shade_windowed(
                 gbuf,
                 scene,
                 camera_position,
@@ -295,7 +327,11 @@ def render_frame(
                 tile_h=tile_h,
                 tile_w=tile_w,
                 light_kwargs=light_kwargs,
+                stage=stage,
             )
+            if isinstance(shaded, dict):  # stage in ("plan", "sample")
+                return shaded
+            framebuffer, window_miss_px = shaded
         else:
             framebuffer = shade.shade_gbuffer(
                 gbuf, scene["atlas"]["texels"], camera_position, **light_kwargs
