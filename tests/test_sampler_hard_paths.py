@@ -175,6 +175,106 @@ def test_residual_tile_compact_fallback():
     assert np.abs(win - gat).max() <= 1
 
 
+def _grid_scene(n_textures: int, cols: int, rows: int,
+                width: int, height: int):
+    """cols x rows grid of floor quads covering the whole viewport,
+    textures cycling by COLUMN mod n_textures — every 128-px tile sees
+    (cols * 128 / width) distinct one-per-shelf textures, so sizing that
+    above K2 makes every covered tile genuinely unwindowable. Cell-sized
+    quads (one per tile row) keep triangle tile spans far below the
+    pair binner's TILES_PER_FACE cap (full-height strips would all go
+    down the bounded "huge face" path and get dropped). ~0.9 texel/px
+    keeps every quad at mip 0 (256-wide rects pack one-per-shelf,
+    >= 304 page rows apart — see module docstring)."""
+    rng = np.random.default_rng(13)
+    assets = {}
+    for i in range(n_textures):
+        img = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+        assets[f"mem://grid_{i}.ktx2"] = make_bc4_ktx2(img)
+    vis_h = 2.0 * np.tan(np.radians(40.0))  # camera distance 1.0, vfov 80
+    px_per_wu = height / vis_h
+    vis_w = vis_h * (width / height)
+    cell_w, cell_h = vis_w / cols, vis_h / rows
+    size_x, size_z = 0.92 * cell_w, 0.92 * cell_h
+    du = size_x * px_per_wu * 0.9 / 256.0
+    dv = size_z * px_per_wu * 0.9 / 256.0
+    n = np.array([0.0, -1.0, 0.0], np.float32)
+    u0, v0 = 0.45, 0.35
+    uvs = np.array(
+        [[u0, v0], [u0 + du, v0], [u0 + du, v0 + dv], [u0, v0 + dv]],
+        np.float32,
+    )
+    draws = []
+    for r in range(rows):
+        cz = (r - (rows - 1) / 2.0) * cell_h
+        for c in range(cols):
+            cx = (c - (cols - 1) / 2.0) * cell_w
+            hx, hz = size_x / 2.0, size_z / 2.0
+            positions = np.array(
+                [
+                    [cx - hx, 0.0, cz - hz],
+                    [cx + hx, 0.0, cz - hz],
+                    [cx + hx, 0.0, cz + hz],
+                    [cx - hx, 0.0, cz + hz],
+                ],
+                np.float32,
+            )
+            draws.append(
+                PrimitiveDraw(
+                    positions=positions,
+                    normals=np.broadcast_to(n, (4, 3)).copy(),
+                    uvs=uvs.copy(),
+                    indices=np.array([0, 1, 2, 0, 2, 3], np.uint32),
+                    model_matrix=math3d.mat4_identity(),
+                    normal_matrix=np.eye(3, dtype=np.float32),
+                    image_uri=f"mem://grid_{c % n_textures}.ktx2",
+                    material_name="hardpath",
+                    node_name="cell",
+                )
+            )
+    model = GltfModel(draws=draws, image_uris=list(assets))
+    return build_scene([model], memory_assets=assets)
+
+
+def test_fullframe_fallback_genuine():
+    """> RT_CAP tiles that each GENUINELY need > K2 windows: the plan
+    must classify them all residual end-to-end (no monkeypatching) and
+    the full-frame gather fallback must reproduce the gather engine.
+    256x264 @ 8x128 tiles = 66 tiles > RT_CAP (64)."""
+    from tpurast.renderer import RT_CAP
+
+    width, height, tile_h = 256, 264, 8
+    scene = _grid_scene(
+        n_textures=36, cols=72, rows=33, width=width, height=height
+    )
+    r = Renderer(
+        scene,
+        RendererConfig(
+            width=width, height=height, tile_h=tile_h,
+            sampler="window", segment_headroom=128,
+        ),
+    )
+    g = r.debug_gbuf(_CAM)
+    plan = ksampler.plan_tiles(
+        g, None, None,
+        tiles_x=r.tiles_x, tiles_y=r.tiles_y,
+        tile_h=tile_h, tile_w=r.config.tile_w,
+        max_anisotropy=r.config.max_anisotropy,
+    )
+    n_resid = int(np.asarray(plan["residual_tile"]).sum())
+    assert n_resid > RT_CAP, (
+        f"construction must yield > RT_CAP={RT_CAP} genuinely "
+        f"unwindowable tiles, got {n_resid}"
+    )
+    frames = _render_pair(scene, width, height, tile_h=tile_h)
+    win, miss = frames["window"]
+    gat, _ = frames["gather"]
+    assert miss > 0
+    assert np.abs(win - gat).max() <= 1, (
+        "full-frame gather fallback must reproduce the gather engine"
+    )
+
+
 def test_fullframe_fallback(monkeypatch, data_dir):
     """> RT_CAP residual tiles falls back to ONE full-frame gather that
     must reproduce the gather engine. Forced: every tile is marked
