@@ -142,6 +142,13 @@ WRAP_GHOST = 24
 # coordinates, so texels outside a pixel's 2-tap support contribute
 # exact zeros).
 RC = 16  # preferred chunk height; rc_for() shrinks it for small tiles
+# Y selection-band granularity. Measured dead end (r5, docs/perf.md):
+# YB=16 cuts the contraction's M (=4*YB) 3x on paper but REGRESSED the
+# sample stage 18.8 -> ~21 ms — the MXU streams the RHS, so cost is
+# ~independent of M below 128 rows, and shrinking the band only
+# multiplied band count and per-band loop overhead. Must stay a
+# multiple of ALIGN_Y (band starts stay DMA/slice aligned) and WH//YB
+# bands must fit the plan word's 3-bit nyb field.
 YB = 48
 XB = 128
 NXB = WW // XB
@@ -540,7 +547,9 @@ def plan_tiles(
     }
 
 
-def _slot_accumulate(win, wj, word, probe_sel, np_s, rc, tw_px, wdtype, pacc):
+def _slot_accumulate(
+    win, wj, word, probe_sel, np_s, rc, tw_px, wdtype, pacc, iy0, ixb0
+):
     """Accumulate ALL probes of one (chunk, slot) pair into pacc.
 
     probe_sel(i) -> (xsel, ysel): per-pixel window-coordinate sample
@@ -590,31 +599,31 @@ def _slot_accumulate(win, wj, word, probe_sel, np_s, rc, tw_px, wdtype, pacc):
 
                 def probe(i, s4):
                     xsel, ysel = probe_sel(i)
-                    twc = xsel.shape[1]
-                    iy = jax.lax.broadcasted_iota(
-                        jnp.int32, (YB, rc, twc), 0
-                    ).astype(jnp.float32)
-                    # cw is built XB-MAJOR — (XB, rc, tw), contracting
-                    # dim 0 — so the MXU sees its RHS (K=XB, N=rc*tw) in
-                    # its natural layout; building it (rc, XB, tw) and
+                    # The iotas (iy0, ixb0 — built ONCE per kernel
+                    # program) are probe- and band-invariant: the band
+                    # offset folds into the (rc, tw) sel planes instead
+                    # of the 262K-element weight grids, so the per-probe
+                    # VPU work is just sub/abs/relu/cast over the grids.
+                    # cw stays XB-MAJOR — (XB, rc, tw), contracting dim
+                    # 0 — so the MXU sees its RHS (K=XB, N=rc*tw) in its
+                    # natural layout; building it (rc, XB, tw) and
                     # contracting dim 1 forces Mosaic to relayout all
                     # 262K weights per probe, which dominated the whole
                     # sample stage.
-                    ixb = jax.lax.broadcasted_iota(
-                        jnp.int32, (XB, rc, twc), 0
-                    ).astype(jnp.float32)
                     ry = jnp.maximum(
                         0.0,
                         1.0
                         - jnp.abs(
-                            iy + ystart.astype(jnp.float32) - ysel[None, :, :]
+                            iy0
+                            - (ysel - ystart.astype(jnp.float32))[None, :, :]
                         ),
                     )
                     cw = jnp.maximum(
                         0.0,
                         1.0
                         - jnp.abs(
-                            ixb + xstart.astype(jnp.float32) - xsel[None, :, :]
+                            ixb0
+                            - (xsel - xstart.astype(jnp.float32))[None, :, :]
                         ),
                     ).astype(wdtype)
                     # One batched contraction x-filters all 4 channels.
@@ -627,7 +636,7 @@ def _slot_accumulate(win, wj, word, probe_sel, np_s, rc, tw_px, wdtype, pacc):
                         cw,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ).reshape(4, YB, rc, twc)
+                    ).reshape(4, YB, rc, tw_px)
                     return [
                         s4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)
                     ]
@@ -698,6 +707,15 @@ def _sampler_kernel(
         n = n_used_ref[t]
         g = gbuf_ref
         nc = tile_h // rc
+
+        # Probe-/band-invariant weight-grid iotas, built once per tile
+        # (band offsets fold into the small sel planes instead).
+        iy0 = jax.lax.broadcasted_iota(
+            jnp.int32, (YB, rc, tile_w), 0
+        ).astype(jnp.float32)
+        ixb0 = jax.lax.broadcasted_iota(
+            jnp.int32, (XB, rc, tile_w), 0
+        ).astype(jnp.float32)
 
         for c in range(8):
             sacc[c] = jnp.zeros((tile_h, tile_w), jnp.float32)
@@ -823,6 +841,8 @@ def _sampler_kernel(
                             tile_w,
                             wdtype,
                             pacc,
+                            iy0,
+                            ixb0,
                         )
                         for c in range(4):
                             sacc[c, rows, :] += jnp.where(
