@@ -159,15 +159,7 @@ def _resolve_kernel(
         # Padded lanes clamp to the bin's last slot (duplicate face ids) —
         # they MUST be masked or a winner in the last real lane selects 2x.
         # m: (th, CHUNK, tw) — both operands broadcast along minor dims.
-        m_bool = (lane_fid == fid[:, None, :]) & (lane_idx < count)
-        m = m_bool.astype(jnp.float32)
-        any_hit = jnp.any(m_bool)
-        # Measured dead end (r5): replacing HIGHEST with a manual exact
-        # 3-pass bf16 split of the attribute operand (one-hot RHS is
-        # exact in bf16, so 3 passes reconstruct f32 bit-for-bit)
-        # REGRESSED 4.2 -> 6.0 ms — the bf16 packing relayout of the
-        # (th, CHUNK, tw) mask costs more than the three saved MXU
-        # passes, whether as three dots or one concatenated dot.
+        m = ((lane_fid == fid[:, None, :]) & (lane_idx < count)).astype(jnp.float32)
         sel = jax.lax.dot_general(
             attr_ref[...],  # (CHUNK, A_IN)
             m,  # (th, CHUNK, tw)

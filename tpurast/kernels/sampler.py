@@ -566,13 +566,8 @@ def _slot_accumulate(
     — a dynamic-trip fori_loop costs more in Mosaic loop overhead per
     band than the band's own matmul (measured: most slots plan exactly
     one band). Loop order stays band-outer / probe-inner so the window
-    band load runs once per band, not once per probe. np_s == 1 (the
-    dominant, isotropic case) runs a single straight-line probe body
-    with no dynamic loop; multi-probe slots walk probes TWO per
-    iteration with stacked weight grids and one doubled-N contraction
-    (an odd trailing probe contributes exact zeros via the -2.0
-    sentinel). Per probe, x-filtering is a batched MXU contraction with
-    tent weights
+    band load runs once per band, not once per probe. Per probe,
+    x-filtering is a batched MXU contraction with tent weights
       C[i, r, c] = max(0, 1 - |i - xsel(r, c)|)
     which places (1-fx, fx) at the two x-neighbors; y-filtering is a
     tent over the band rows on the VPU, against ABSOLUTE window
@@ -602,20 +597,19 @@ def _slot_accumulate(
                     .astype(wdtype)
                 )
 
-                def single(i):
-                    """Accumulate ONE probe into pacc."""
+                def probe(i, s4):
                     xsel, ysel = probe_sel(i)
                     # The iotas (iy0, ixb0 — built ONCE per kernel
                     # program) are probe- and band-invariant: the band
-                    # offset folds into the small (rc, tw) sel planes
-                    # instead of the 262K-element weight grids, so the
-                    # per-probe VPU work is just sub/abs/relu/cast over
-                    # the grids. cw stays XB-MAJOR — (XB, rc, tw),
-                    # contracting dim 0 — so the MXU sees its RHS
-                    # (K=XB, N=rc*tw) in its natural layout; building it
-                    # (rc, XB, tw) and contracting dim 1 forces Mosaic
-                    # to relayout all 262K weights per probe, which
-                    # dominated the whole sample stage.
+                    # offset folds into the (rc, tw) sel planes instead
+                    # of the 262K-element weight grids, so the per-probe
+                    # VPU work is just sub/abs/relu/cast over the grids.
+                    # cw stays XB-MAJOR — (XB, rc, tw), contracting dim
+                    # 0 — so the MXU sees its RHS (K=XB, N=rc*tw) in its
+                    # natural layout; building it (rc, XB, tw) and
+                    # contracting dim 1 forces Mosaic to relayout all
+                    # 262K weights per probe, which dominated the whole
+                    # sample stage.
                     ry = jnp.maximum(
                         0.0,
                         1.0
@@ -643,52 +637,14 @@ def _slot_accumulate(
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ).reshape(4, YB, rc, tw_px)
-                    for c in range(4):
-                        pacc[c] += jnp.sum(b[c] * ry, axis=0)
+                    return [
+                        s4[c] + jnp.sum(b[c] * ry, axis=0) for c in range(4)
+                    ]
 
-                @pl.when(np_s == 1)
-                def _one_probe():
-                    # The dominant case (isotropic slots): no dynamic
-                    # loop at all.
-                    single(jnp.int32(0))
-
-                @pl.when(np_s > 1)
-                def _probe_pairs():
-                    # Anisotropic slots walk probes TWO per iteration:
-                    # one stacked weight-grid build, one MXU contraction
-                    # (N doubled), one y-reduce per pair — halving the
-                    # dynamic-loop trip count and the per-op Mosaic
-                    # overhead on the hot path. A trailing odd probe
-                    # (i + 1 == np_s) contributes exact zeros: probe_sel
-                    # yields the -2.0 sentinel for every pixel with
-                    # n_px <= i, so both tents vanish on all lanes.
-                    def pair(k, _):
-                        i = 2 * k
-                        xs0, ys0 = probe_sel(i)
-                        xs1, ys1 = probe_sel(i + 1)
-                        ysf = ystart.astype(jnp.float32)
-                        xsf = xstart.astype(jnp.float32)
-                        ys2 = jnp.stack([ys0 - ysf, ys1 - ysf])  # (2,rc,tw)
-                        xs2 = jnp.stack([xs0 - xsf, xs1 - xsf])
-                        ry2 = jnp.maximum(
-                            0.0,
-                            1.0 - jnp.abs(iy0[:, None] - ys2[None]),
-                        )  # (YB, 2, rc, tw)
-                        cw2 = jnp.maximum(
-                            0.0,
-                            1.0 - jnp.abs(ixb0[:, None] - xs2[None]),
-                        ).astype(wdtype)  # (XB, 2, rc, tw)
-                        b = jax.lax.dot_general(
-                            tband,
-                            cw2,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).reshape(4, YB, 2, rc, tw_px)
-                        for c in range(4):
-                            pacc[c] += jnp.sum(b[c] * ry2, axis=(0, 1))
-                        return 0
-
-                    jax.lax.fori_loop(0, (np_s + 1) // 2, pair, 0)
+                zero = [jnp.zeros((rc, tw_px), jnp.float32)] * 4
+                s4 = jax.lax.fori_loop(0, np_s, probe, zero)
+                for c in range(4):
+                    pacc[c] += s4[c]
 
 
 def _sampler_kernel(
